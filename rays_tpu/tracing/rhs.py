@@ -1,0 +1,132 @@
+"""The ray right-hand side: Hamiltonian geometrical-optics equations by
+autodiff of the scalar dispersion function.
+
+Functional re-design of reference RAYS_project/RAYS_lib/eqn_ray.f90.
+dD/dx, dD/dk, dD/domega come from one ``jax.grad`` of
+``dispersion.dispersion_D`` (replacing deriv_cold.f90 / deriv_num.f90).
+State layout in the ODE vector v (ode_m.f90:158-175):
+
+    v[0:3] = x,  v[3:6] = k,  v[6] = integrated arclength,
+    [v[7] = total absorption]  [v[8:8+S] = per-species absorption]
+    [5 gradient-diagnostic integrals]
+
+Returns (dvds, status): status is the first-triggered StopCode in the
+reference's order (equilibrium error -> infinite Vg -> ray stalled,
+eqn_ray.f90:89-169).  dvds is NaN-free even in error states (safe
+denominators), so reverse-mode AD through masked updates stays clean.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rays_tpu import constants
+from rays_tpu.models import base
+from rays_tpu.tracing.stop import StopCode
+from rays_tpu.wave import damping as damping_mod
+from rays_tpu.wave import dispersion
+
+
+def eqn_ray(cfg, params, s, v):
+    """RHS for a single ray at parameter value s.  Pure; vmap over rays."""
+    dt = v.dtype
+    rvec = v[0:3]
+    kvec = v[3:6]
+    omgrf = params.rf.omgrf
+    tiny = constants.SAFE_TINY
+
+    # equilibrium validity at this point (eqn_ray.f90:86-102)
+    err = base.eq_err(cfg, params, rvec)
+
+    # dD/dx, dD/dk, dD/domega by autodiff of the scalar D
+    D = lambda x, k, w: dispersion.dispersion_D(cfg, params, x, k, w)
+    dddx, dddk, dddw = jax.grad(D, argnums=(0, 1, 2))(rvec, kvec, omgrf)
+
+    # group velocity (eqn_ray.f90:131-144)
+    safe_dddw = jnp.where(dddw == 0.0, jnp.asarray(1.0, dt), dddw)
+    vg = -dddk / safe_dddw
+    vg0 = jnp.sqrt(jnp.sum(vg**2))
+    vg_unit = vg / jnp.maximum(vg0, tiny)
+
+    dddk_mag = jnp.sqrt(jnp.sum(dddk**2))
+    safe_dddk_mag = jnp.maximum(dddk_mag, tiny)
+
+    if cfg.ray_param == "arcl":
+        # integrate w.r.t. arclength (eqn_ray.f90:150-170).
+        # Fortran sign(1., dddw) is +1 at dddw == 0.
+        sgn = jnp.where(dddw >= 0.0, 1.0, -1.0).astype(dt)
+        dxds = -sgn * dddk / safe_dddk_mag
+        dkds = sgn * dddx / safe_dddk_mag
+        dsd_ray_param = jnp.asarray(1.0, dt)
+    elif cfg.ray_param == "time":
+        # integrate w.r.t. time (eqn_ray.f90:172-181)
+        dxds = -dddk / safe_dddw
+        dkds = dddx / safe_dddw
+        dsd_ray_param = vg0
+    else:
+        raise ValueError(f"eqn_ray: invalid ray_param {cfg.ray_param}")
+
+    parts = [dxds, dkds, dsd_ray_param[None]]
+
+    if cfg.damping_model != "no_damp":
+        eq = base.equilibrium(cfg, params, rvec)
+        ksi, ki = damping_mod.damping(cfg, params, eq, v[0:6], vg)
+        # dP/ds = dsd * 2 ki (1 - P_total), P_total = v[7] (eqn_ray.f90:196-213)
+        p_tot = v[7]
+        parts.append((dsd_ray_param * 2.0 * ki * (1.0 - p_tot))[None])
+        if cfg.multi_spec_damping:
+            parts.append(dsd_ray_param * 2.0 * ksi * (1.0 - p_tot))
+
+    if cfg.integrate_eq_gradients:
+        if cfg.damping_model == "no_damp":
+            eq = base.equilibrium(cfg, params, rvec)
+        # d/ds of (B, ne, Te) along the ray (eqn_ray.f90:217-229)
+        db = dsd_ray_param * (vg_unit @ eq.gradb)          # (3,)
+        dne = dsd_ray_param * jnp.dot(vg_unit, eq.gradns[0])
+        dte = dsd_ray_param * jnp.dot(vg_unit, eq.gradts[0])
+        parts.extend([db, dne[None], dte[None]])
+
+    dvds = jnp.concatenate(parts)
+
+    # first-triggered status, reference order
+    status = jnp.int32(StopCode.OK)
+    if cfg.ray_param == "arcl":
+        status = jnp.where(dddk_mag == 0.0, jnp.int32(StopCode.RAY_STALLED), status)
+    status = jnp.where(dddw == 0.0, jnp.int32(StopCode.INFINITE_VG), status)
+    status = jnp.where(err != 0, err, status)
+
+    return dvds, status
+
+
+def check_save(cfg, params, v):
+    """Per-step validity checks on the state v (reference check_save.f90).
+
+    Returns (resid, status).  The dispersion residual is the production-path
+    physics invariant: |det(eps_h + nn - n^2 I)| relative to the term-norm,
+    with a hard stop at dispersion_resid_limit (check_save.f90:64-71).
+    Divergence from the reference: we do not recompute dD/domega here just
+    to re-test for infinite group velocity — the RHS of the next step
+    performs that check (eqn_ray.f90:133-144).
+    """
+    rvec, kvec = v[0:3], v[3:6]
+    k0 = params.rf.k0
+    alpha, gamma, bunit, _ = dispersion.alpha_gamma(cfg, params, rvec, params.rf.omgrf)
+    err = base.eq_err(cfg, params, rvec)
+
+    k3 = jnp.dot(kvec, bunit)
+    k1 = jnp.sqrt(jnp.sum((kvec - k3 * bunit) ** 2))
+    resid = dispersion.residual(alpha, gamma, k1 / k0, k3 / k0)
+
+    status = jnp.int32(StopCode.OK)
+    if cfg.damping_model != "no_damp":
+        status = jnp.where(
+            v[7] > params.limits.total_damping_limit,
+            jnp.int32(StopCode.TOTAL_ABSORPTION), status,
+        )
+    status = jnp.where(
+        resid > params.limits.dispersion_resid_limit,
+        jnp.int32(StopCode.DISPERSION_RESIDUAL), status,
+    )
+    status = jnp.where(err != 0, err, status)
+    return resid, status

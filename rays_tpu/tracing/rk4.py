@@ -1,0 +1,34 @@
+"""Fixed-step RK4 over one outer step, branch-free.
+
+Mirrors reference RAYS_project/RAYS_lib/RK4_ode_m.f90:59-94: four RHS
+evaluations per ds; the reference aborts (leaving v unchanged) if any stage
+flags a stop.  Here all four stages are computed unconditionally (TPU:
+branchless lockstep across the vmapped ray batch) and the first-flagged
+stage status wins; on any nonzero status the caller keeps the old v.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rays_tpu.tracing import rhs as rhs_mod
+
+
+def _first_nonzero(*codes):
+    out = codes[0]
+    for c in codes[1:]:
+        out = jnp.where(out != 0, out, c)
+    return out
+
+
+def rk4_step(cfg, params, s, v):
+    """One RK4 step of size params.ode.ds.  Returns (v_new, status)."""
+    ds = params.ode.ds
+    f = lambda ss, vv: rhs_mod.eqn_ray(cfg, params, ss, vv)
+    f1, st1 = f(s, v)
+    f2, st2 = f(s + ds / 2.0, v + ds * f1 / 2.0)
+    f3, st3 = f(s + ds / 2.0, v + ds * f2 / 2.0)
+    f4, st4 = f(s + ds, v + ds * f3)
+    status = _first_nonzero(st1, st2, st3, st4)
+    v_new = v + ds * (f1 + 2.0 * f2 + 2.0 * f3 + f4) / 6.0
+    return v_new, status

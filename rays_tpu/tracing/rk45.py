@@ -1,0 +1,117 @@
+"""Adaptive embedded Runge-Kutta (Dormand-Prince 5(4)) over one outer step.
+
+The reference's adaptive path is the Shampine-Gordon Adams PECE suite
+(reference RAYS_project/RAYS_lib/ode_RAYS.f90, SG_ode_m.f90): variable
+order/step with per-ray tolerance state, advancing from s to sout = s + ds
+each outer step.  Variable-order multistep state is hostile to lockstep
+batching, so the TPU-native equivalent is an embedded one-step pair with PI
+step-size control: same contract (advance exactly ds to tolerance; results
+agree with SG at the tolerance level, which is how the examples are
+validated — SURVEY.md §7.1), but O(1) state per ray and identical control
+flow across the vmapped batch.
+
+The inner adaptive loop is a ``lax.while_loop`` bounded by
+cfg.max_substeps; under vmap it runs lockstep with masked per-ray updates.
+Error control follows the SG convention: mixed test
+err_i / (abs_err + rel_err*|v_i|), aborting with ODE_TOTAL_ERROR when the
+step size underflows or the substep budget is exhausted
+(SG_ode_m.f90:89-159 behavior analog).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rays_tpu import constants
+
+from rays_tpu.tracing import rhs as rhs_mod
+from rays_tpu.tracing.stop import StopCode
+
+# Dormand-Prince 5(4) tableau
+_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
+_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40)
+
+_SAFETY = 0.9
+_MIN_FACTOR = 0.2
+_MAX_FACTOR = 5.0
+
+
+def _dopri_step(f, t, v, h):
+    """One trial DOPRI5 step.  Returns (v5, err_vec, status)."""
+    ks = []
+    status = jnp.int32(StopCode.OK)
+    for i in range(7):
+        vi = v
+        for j, aij in enumerate(_A[i]):
+            if aij != 0.0:
+                vi = vi + h * aij * ks[j]
+        ki, sti = f(t + _C[i] * h, vi)
+        status = jnp.where(status != 0, status, sti)
+        ks.append(ki)
+    v5 = v
+    err = jnp.zeros_like(v)
+    for bi5, bi4, ki in zip(_B5, _B4, ks):
+        if bi5 != 0.0:
+            v5 = v5 + h * bi5 * ki
+        err = err + h * (bi5 - bi4) * ki
+    return v5, err, status
+
+
+def rk45_step(cfg, params, s, v):
+    """Advance one outer step ds adaptively.  Returns (v_new, status)."""
+    dt = v.dtype
+    ds = params.ode.ds
+    sout = s + ds
+    rel, ab = params.ode.rel_err, params.ode.abs_err
+    f = lambda ss, vv: rhs_mod.eqn_ray(cfg, params, ss, vv)
+    h_min = jnp.abs(ds) * 1e-12
+    # "reached sout" tolerance: below ~eps*|sout| the update t += h would
+    # round away and the loop could spin until the substep budget dies
+    done_tol = jnp.abs(ds) * 1e-10
+
+    def cond(carry):
+        t, _, _, status, n_sub = carry
+        return (sout - t > done_tol) & (status == 0) & (n_sub < cfg.max_substeps)
+
+    def body(carry):
+        t, vv, h, status, n_sub = carry
+        h_try = jnp.minimum(h, sout - t)
+        v5, err, rhs_status = _dopri_step(f, t, vv, h_try)
+
+        tol = ab + rel * jnp.maximum(jnp.abs(vv), jnp.abs(v5))
+        err_ratio = jnp.max(jnp.abs(err) / tol)
+        accept = (err_ratio <= 1.0) & (rhs_status == 0)
+
+        t_new = jnp.where(accept, t + h_try, t)
+        v_new = jnp.where(accept, v5, vv)
+
+        safe_ratio = jnp.maximum(err_ratio, constants.SAFE_TINY)
+        factor = jnp.clip(_SAFETY * safe_ratio ** (-0.2), _MIN_FACTOR, _MAX_FACTOR)
+        h_new = jnp.maximum(h_try * factor, h_min)
+
+        status = jnp.where(rhs_status != 0, rhs_status, status)
+        status = jnp.where(
+            (~accept) & (h_try <= h_min) & (status == 0),
+            jnp.int32(StopCode.ODE_TOTAL_ERROR), status,
+        )
+        return t_new, v_new, h_new, status, n_sub + 1
+
+    init = (s, v, ds, jnp.int32(StopCode.OK), jnp.int32(0))
+    t_f, v_f, _, status, _ = jax.lax.while_loop(cond, body, init)
+    # substep budget exhausted without reaching sout -> tolerance failure
+    status = jnp.where(
+        (status == 0) & (sout - t_f > done_tol),
+        jnp.int32(StopCode.ODE_TOTAL_ERROR), status,
+    )
+    return v_f, status

@@ -1,0 +1,142 @@
+"""Batched ray tracing: `lax.scan` over steps, `vmap` over rays.
+
+TPU re-design of the reference driver loop (reference RAYS_project/RAYS_lib/
+ray_tracing.f90): the OpenMP `parallel do` over rays becomes a vmapped batch
+(shardable over a device mesh, see rays_tpu.parallel); the per-ray
+`trajectory:` loop becomes one `lax.scan` of length nstep_max with
+mask-and-freeze stop semantics — a stopped ray's state is frozen and its
+subsequent steps are masked out, reproducing the reference's early exits
+with fixed shapes.
+
+Stop-check ordering per outer step matches ray_tracing.f90:116-245:
+  1. sout > s_max           (before stepping, :128-147)
+  2. step budget            (scan length; flag NSTEP_MAX if still live)
+  3. stops inside the solver (RHS statuses, :177-197)
+  4. check_save stops        (residual / absorption, :212-234)
+A step rejected by (3) or (4) does not update the ray state and is not
+recorded — same as the reference, which exits `trajectory` before the
+`ray_vec(:,nstep+1,:)` write.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rays_tpu.tracing import rhs as rhs_mod
+from rays_tpu.tracing import rk4, rk45
+from rays_tpu.tracing.stop import StopCode
+
+
+class RayResults(NamedTuple):
+    """Pytree analog of the reference results store
+    (ray_results_m.f90:44-58)."""
+
+    ray_vec: Any            # (B, nstep_max+1, nv); zeros beyond npoints
+    residual: Any           # (B, nstep_max+1)
+    npoints: Any            # (B,) int32
+    stop_flag: Any          # (B,) int32 StopCode
+    initial_ray_power: Any  # (B,)
+    end_residuals: Any      # (B,)
+    max_residuals: Any      # (B,)
+    end_ray_parameter: Any  # (B,)
+    start_ray_vec: Any      # (B, nv)
+    end_ray_vec: Any        # (B, nv)
+
+
+def get_step_fn(cfg):
+    if cfg.ode_solver_name == "RK4_ODE":
+        return rk4.rk4_step
+    if cfg.ode_solver_name == "SG_ODE":
+        # TPU-native adaptive equivalent of the Shampine-Gordon suite
+        return rk45.rk45_step
+    raise ValueError(f"invalid ode solver {cfg.ode_solver_name}")
+
+
+def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
+    """Trace a batch of rays.  v0: (B, nv); status0: (B,) int32 (nonzero
+    entries — e.g. padding rays — never start); pwr_wt: (B,)."""
+    step_fn = get_step_fn(cfg)
+    ds, s_max = params.ode.ds, params.ode.s_max
+
+    check_v = jax.vmap(lambda v: rhs_mod.check_save(cfg, params, v))
+    step_v = jax.vmap(lambda s, v: step_fn(cfg, params, s, v), in_axes=(None, 0))
+
+    # initial validity check (ray_tracing.f90:100-112); the initial residual
+    # is recorded as 0 ("assume initial k solves the dispersion relation",
+    # ray_tracing.f90:93)
+    _, st0 = check_v(v0)
+    status = jnp.where(status0 != 0, status0, st0)
+
+    def body(carry, k):
+        v, status, nstep = carry
+        s = k.astype(v.dtype) * ds
+        sout = (k + 1).astype(v.dtype) * ds
+
+        active = status == 0
+        status = jnp.where(
+            active & (sout > s_max), jnp.int32(StopCode.SOUT_GT_SMAX), status
+        )
+        active = status == 0
+
+        v_new, solver_st = step_v(s, v)
+        status = jnp.where(active & (solver_st != 0), solver_st, status)
+        accepted = active & (solver_st == 0)
+
+        resid, check_st = check_v(v_new)
+        status = jnp.where(accepted & (check_st != 0), check_st, status)
+        ok = accepted & (check_st == 0)
+
+        v = jnp.where(ok[:, None], v_new, v)
+        nstep = nstep + ok.astype(jnp.int32)
+
+        if cfg.save_trajectory:
+            out = (jnp.where(ok[:, None], v, 0.0), jnp.where(ok, resid, 0.0), ok)
+        else:
+            out = (jnp.where(ok, resid, 0.0), ok)
+        return (v, status, nstep), out
+
+    B = v0.shape[0]
+    init = (v0, status, jnp.zeros((B,), jnp.int32))
+    (v_f, status_f, nstep_f), outs = jax.lax.scan(
+        body, init, jnp.arange(cfg.nstep_max)
+    )
+
+    # still-live rays exhausted the step budget (ray_tracing.f90:150-172)
+    status_f = jnp.where(status_f == 0, jnp.int32(StopCode.NSTEP_MAX), status_f)
+
+    if cfg.save_trajectory:
+        vs, resids, oks = outs
+        ray_vec = jnp.concatenate([v0[:, None, :], jnp.moveaxis(vs, 0, 1)], axis=1)
+        residual = jnp.concatenate(
+            [jnp.zeros((B, 1), v0.dtype), jnp.moveaxis(resids, 0, 1)], axis=1
+        )
+    else:
+        resids, oks = outs
+        ray_vec = jnp.zeros((B, 1, v0.shape[1]), v0.dtype)
+        residual = jnp.concatenate(
+            [jnp.zeros((B, 1), v0.dtype), jnp.moveaxis(resids, 0, 1)], axis=1
+        )
+
+    npoints = 1 + nstep_f
+    # residual at the last accepted point; max over accepted points.
+    # (The reference's end/max indexing is off by one at the boundary,
+    # ray_results writes residual(nstep,iray) — we use the last *stored*
+    # point, which is what its plots consume.)
+    end_res = jnp.take_along_axis(residual, (npoints - 1)[:, None], axis=1)[:, 0]
+    max_res = jnp.max(residual, axis=1)
+
+    return RayResults(
+        ray_vec=ray_vec,
+        residual=residual,
+        npoints=npoints,
+        stop_flag=status_f,
+        initial_ray_power=pwr_wt,
+        end_residuals=end_res,
+        max_residuals=max_res,
+        end_ray_parameter=v_f[:, 6],
+        start_ray_vec=v0,
+        end_ray_vec=v_f,
+    )
