@@ -170,6 +170,124 @@ def _solovev_from_namelist(nml, ns):
     return static, p
 
 
+def _axisym_toroid_from_namelist(nml, ns):
+    from rays_tpu.models import axisym_toroid as at
+
+    g = nml.get("axisym_toroid_eq_list", {})
+    mag_model = _get(g, "magnetics_model", "solovev_magnetics")
+    static = at.AxisymToroidStatic(
+        magnetics_model=mag_model,
+        density_prof_model=_get(g, "density_prof_model", "parabolic"),
+        temperature_prof_model=tuple(
+            _strlist(g, "temperature_prof_model", ns, "zero")),
+    )
+
+    if mag_model == "solovev_magnetics":
+        gm = nml.get("solovev_magnetics_list", {})
+        mag = at.SolovevMagParams(
+            rmaj=_get(gm, "rmaj", 1.0), kappa=_get(gm, "kappa", 1.0),
+            bphi0=_get(gm, "bphi0", 1.0), iota0=_get(gm, "iota0", 0.5),
+            outer_bound=_get(gm, "outer_boundary", 1.3),
+        )
+        box = (_get(gm, "box_rmin", 0.05), _get(gm, "box_rmax", 10.0),
+               _get(gm, "box_zmin", -10.0), _get(gm, "box_zmax", 10.0))
+    elif mag_model in ("eqdsk_magnetics_spline_interp",
+                       "eqdsk_magnetics_lin_interp"):
+        gm = nml.get("eqdsk_magnetics_spline_interp_list",
+                     nml.get("eqdsk_magnetics_lin_interp_list", {}))
+        fname = _get(gm, "eqdsk_file_name")
+        if fname is None:
+            raise ValueError("eqdsk magnetics needs eqdsk_file_name")
+        mag, geq = at.build_eqdsk_mag_params(fname)
+        box = (geq.rboxlft, geq.rboxlft + geq.rboxlen,
+               geq.zoff - geq.zboxlen / 2.0, geq.zoff + geq.zboxlen / 2.0)
+    else:
+        raise NotImplementedError(f"magnetics_model {mag_model}")
+
+    ne_knots = te_knots = ti_knots = jnp.zeros((2, 4))
+    if static.density_prof_model == "density_spline_interp":
+        gd = nml.get("density_spline_interp_list", {})
+        ngrid = int(_get(gd, "ngrid", 0))
+        vals = _arr(gd, "ne_in", max(ngrid, 4), base=1)[:ngrid]
+        ne_knots = at.build_spline_knots(vals)
+    if "temperature_spline_interp" in static.temperature_prof_model:
+        gt = nml.get("temperature_spline_interp_list", {})
+        ngrid = int(_get(gt, "ngrid", 0))
+        te = _arr(gt, "te_in", max(ngrid, 4), base=1)[:ngrid]
+        ti = _arr(gt, "ti_in", max(ngrid, 4), base=1)[:ngrid]
+        te_knots = at.build_spline_knots(te)
+        ti_knots = at.build_spline_knots(ti)
+
+    p = at.AxisymToroidParams(
+        mag=mag,
+        plasma_psi_limit=_get(g, "plasma_psi_limit", 1.0),
+        alphan1=_get(g, "alphan1", 1.0), alphan2=_get(g, "alphan2", 2.0),
+        d_scrape_off=_get(g, "d_scrape_off", 0.0),
+        ne_knots=ne_knots,
+        alphat1=_arr(g, "alphat1", ns, 1.0),
+        alphat2=_arr(g, "alphat2", ns, 2.0),
+        t_scrape_off=_get(g, "t_scrape_off", 0.0),
+        te_knots=te_knots, ti_knots=ti_knots,
+        box_rmin=box[0], box_rmax=box[1], box_zmin=box[2], box_zmax=box[3],
+    )
+    return static, p
+
+
+def _multiple_mirror_from_namelist(nml, ns, input_dir="."):
+    import os
+
+    from rays_tpu.models import axisym_toroid as at  # build_spline_knots
+    from rays_tpu.models import multiple_mirror as mm
+
+    g = nml.get("multiple_mirror_eq_list", {})
+    static = mm.MultipleMirrorStatic(
+        magnetics_model=_get(g, "magnetics_model",
+                             "mirror_magnetics_spline_interp"),
+        density_prof_model=_get(g, "density_prof_model", "parabolic"),
+        temperature_prof_model=tuple(
+            _strlist(g, "temperature_prof_model", ns, "zero")),
+    )
+    gm = nml.get("mirror_magnetics_spline_interp_list", {})
+    fname = _get(gm, "mirror_field_nc_file")
+    if fname is None:
+        raise ValueError("multiple_mirror needs mirror_field_NC_file")
+    if not os.path.isabs(fname):
+        fname = os.path.join(input_dir, fname)
+    br_sp, bz_sp, aphi_sp, aphi_lufs, box = mm.load_field_file(fname)
+
+    ne_knots = te_knots = ti_knots = jnp.zeros((2, 4))
+    if static.density_prof_model == "density_spline_interp":
+        gd = nml.get("density_spline_interp_list", {})
+        ngrid = int(_get(gd, "ngrid", 0))
+        ne_knots = at.build_spline_knots(
+            _arr(gd, "ne_in", max(ngrid, 4), base=1)[:ngrid])
+    if "temperature_spline_interp" in static.temperature_prof_model:
+        gt = nml.get("temperature_spline_interp_list", {})
+        ngrid = int(_get(gt, "ngrid", 0))
+        te_knots = at.build_spline_knots(
+            _arr(gt, "te_in", max(ngrid, 4), base=1)[:ngrid])
+        ti_knots = at.build_spline_knots(
+            _arr(gt, "ti_in", max(ngrid, 4), base=1)[:ngrid])
+
+    p = mm.MultipleMirrorParams(
+        br_spline=br_sp, bz_spline=bz_sp, aphi_spline=aphi_sp,
+        aphi_lufs=aphi_lufs,
+        plasma_aphin_limit=_get(g, "plasma_aphin_limit", 1.0),
+        alphan1=_get(g, "alphan1", 1.0), alphan2=_get(g, "alphan2", 2.0),
+        aphin0_d=_get(g, "aphin0_d", 0.05), delta_d=_get(g, "delta_d", 0.05),
+        d_scrape_off=_get(g, "d_scrape_off", 0.0),
+        ne_knots=ne_knots,
+        alphat1=_arr(g, "alphat1", ns, 1.0),
+        alphat2=_arr(g, "alphat2", ns, 2.0),
+        aphin0_t=_arr(g, "aphin0_t", ns, 0.05),
+        delta_t=_arr(g, "delta_t", ns, 0.05),
+        t_scrape_off=_get(g, "t_scrape_off", 0.0),
+        te_knots=te_knots, ti_knots=ti_knots,
+        box_rmax=box[0], box_zmin=box[1], box_zmax=box[2],
+    )
+    return static, p
+
+
 def _slab_init_from_namelist(nml):
     g = nml.get("simple_slab_ray_init_list", {})
     return slab_init_mod.SlabInit(
@@ -191,8 +309,9 @@ def _slab_init_from_namelist(nml):
     )
 
 
-def from_namelist(nml: dict):
-    """Parsed namelist dict -> (Config, Params)."""
+def from_namelist(nml: dict, input_dir="."):
+    """Parsed namelist dict -> (Config, Params).  input_dir resolves
+    relative data-file paths (EQDSK, mirror field netCDF)."""
     diag = nml.get("diagnostics_list", {})
     rf = nml.get("rf_list", {})
     damp = nml.get("damping_list", {})
@@ -209,6 +328,10 @@ def from_namelist(nml: dict):
         eq_static, eq_params = _slab_from_namelist(nml, ns)
     elif equilib_model == "solovev":
         eq_static, eq_params = _solovev_from_namelist(nml, ns)
+    elif equilib_model == "axisym_toroid":
+        eq_static, eq_params = _axisym_toroid_from_namelist(nml, ns)
+    elif equilib_model == "multiple_mirror":
+        eq_static, eq_params = _multiple_mirror_from_namelist(nml, ns, input_dir)
     else:
         raise NotImplementedError(f"equilib_model {equilib_model}")
 
@@ -233,6 +356,24 @@ def from_namelist(nml: dict):
             rindex_phi0=float(_get(g, "rindex_phi0", 0.0)),
             delta_rindex_phi=float(_get(g, "delta_rindex_phi", 0.0)),
         )
+    elif ray_init_model == "axisym_toroid_ray_init_R_Z_nphi_ntheta":
+        from rays_tpu.rayinit.axisym_toroid import AxisymToroidInit
+
+        g = nml.get("axisym_toroid_ray_init_r_z_nphi_ntheta_list", {})
+        rayinit_static = AxisymToroidInit(
+            n_r_launch=int(_get(g, "n_r_launch", 1)),
+            r_launch0=float(_get(g, "r_launch0", 0.0)),
+            dr_launch=float(_get(g, "dr_launch", 0.0)),
+            n_z_launch=int(_get(g, "n_z_launch", 1)),
+            z_launch0=float(_get(g, "z_launch0", 0.0)),
+            dz_launch=float(_get(g, "dz_launch", 0.0)),
+            n_rindex_theta=int(_get(g, "n_rindex_theta", 1)),
+            rindex_theta0=float(_get(g, "rindex_theta0", 0.0)),
+            delta_rindex_theta=float(_get(g, "delta_rindex_theta", 0.0)),
+            n_rindex_phi=int(_get(g, "n_rindex_phi", 1)),
+            rindex_phi0=float(_get(g, "rindex_phi0", 0.0)),
+            delta_rindex_phi=float(_get(g, "delta_rindex_phi", 0.0)),
+        )
     elif ray_init_model in ("one_ray_init_XYZ_n_direction",
                             "one_ray_init_XYZ_k_direction"):
         from rays_tpu.rayinit.one_ray import OneRayInit
@@ -246,6 +387,14 @@ def from_namelist(nml: dict):
             nz=float(_get(g, "nz", 0.0)),
             use_this_n_vec=bool(_get(g, "use_this_n_vec", False)),
         )
+    elif ray_init_model == "file_input_ray_init":
+        import os
+
+        from rays_tpu.rayinit.file_input import FileInputInit
+
+        label = str(_get(diag, "run_label", "run"))
+        rayinit_static = FileInputInit(
+            filename=os.path.join(input_dir, f"ray_init_{label}.in"))
     else:
         rayinit_static = None  # model-specific inits resolved in rayinit/
 
@@ -264,6 +413,10 @@ def from_namelist(nml: dict):
         integrate_eq_gradients=bool(_get(diag, "integrate_eq_gradients", False)),
         verbosity=int(_get(diag, "verbosity", 0)),
         ode_solver_name=_get(ode, "ode_solver_name", "RK4_ODE"),
+        # 'numerical' (the reference's FD A/B) maps to the jax.grad path
+        ray_deriv_name={"cold": "cold", "numerical": "autodiff",
+                        "autodiff": "autodiff"}[
+            _get(ode, "ray_deriv_name", "cold")],
         nstep_max=int(_get(ode, "nstep_max", 500)),
         ray_init_model=ray_init_model,
         rayinit_static=rayinit_static,
@@ -303,6 +456,9 @@ def _to_f64(tree):
 
 
 def from_file(path):
+    import os
+
     from rays_tpu.config.namelist import read_namelist_file
 
-    return from_namelist(read_namelist_file(path))
+    return from_namelist(read_namelist_file(path),
+                         input_dir=os.path.dirname(os.path.abspath(path)))

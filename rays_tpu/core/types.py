@@ -118,6 +118,10 @@ class Config:
 
     # integrator
     ode_solver_name: str = "RK4_ODE"  # RK4_ODE | SG_ODE (-> adaptive RK45)
+    # 'cold' = closed-form chain rule of pole-free D (default);
+    # 'autodiff' = jax.grad of the scalar D (independent-path A/B, the
+    # analog of the reference's ray_deriv_name='numerical' FD check)
+    ray_deriv_name: str = "cold"
     nstep_max: int = 500
     max_substeps: int = 512        # adaptive stepper: bound on internal steps per ds
 

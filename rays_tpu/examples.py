@@ -95,6 +95,49 @@ SOLOVEV_ECH_90GHZ = """
 """
 
 
+SLAB_ECH_DAMPED = """
+&diagnostics_list
+ verbosity=0,
+ run_description='ECH slab with fundamental-ECH damping'
+ run_label='slab_damped'
+ integrate_eq_gradients=.false.
+/
+&species_list
+ n0=5.0e19,
+ spec_name(0)='electron', spec_model(0)='cold', t0s(0)=5.0e3,
+ spec_name(1)='deuterium', spec_model(1)='cold', t0s(1)=1.0e3, eta(1)=1.
+/
+&rf_list
+ frf=90.e9, k0_sign=1, wave_mode='minus', ray_dispersion_model='cold',
+ ray_param='arcl', dispersion_resid_limit=0.1
+/
+&damping_list
+ damping_model='damp_fund_ECH', multi_spec_damping=.true.,
+ total_damping_limit=0.99
+/
+&equilibrium_list
+ equilib_model='slab'
+/
+&slab_eq_list
+ bx_prof_model='zero', by_prof_model='zero',
+ bz_prof_model='linear', bz0=3.6, LBz_scale=-4.0,
+ dens_prof_model='constant',
+ rmaj=1., rmin=.5, t_prof_model=2*'constant',
+ xmin=-0.5, xmax=0.5, ymin=-0.5, ymax=0.5, zmin=-1., zmax=1.
+/
+&ray_init_list
+ ray_init_model='simple_slab', nray_max=100
+/
+&simple_slab_ray_init_list
+ n_x_launch=1, x_launch0=-0.45,
+ n_kz_launch=3, rindex_z0=0.1, delta_rindex_z0=0.1
+/
+&ode_list
+ ode_solver_name='RK4_ODE', nstep_max=400, ds=2.5e-3, s_max=1.0
+/
+"""
+
+
 def setup_example(text=SLAB_ECH_90GHZ):
     from rays_tpu.config.namelist import parse_namelist
     from rays_tpu.config import schema

@@ -1,0 +1,230 @@
+"""Generic axisymmetric toroidal (tokamak) equilibrium.
+
+Re-design of reference RAYS_project/RAYS_lib/axisym_toroid_eq_m.f90: a
+magnetics backend (analytic Solovev or splined EQDSK) provides B and the
+poloidal flux; density/temperature profiles are functions of normalized
+flux psiN with scrape-off floors outside psiN = 1
+(axisym_toroid_eq_m.f90:215-363).
+
+Magnetics backends:
+  * 'solovev_magnetics' — the same closed-form field as models/solovev,
+    factored behind the magnetics interface
+    (reference solovev_magnetics_m.f90).
+  * 'eqdsk_magnetics_spline_interp' — 2-D cubic spline of psi(R, Z) and a
+    1-D spline of R*Bphi(R) built from a G-EQDSK file, with
+    B = (psi_Z/R, -psi_R/R, RBphi/R) in cylindrical components
+    (reference eqdsk_magnetics_spline_interp_m.f90:206-283).  Psi is
+    shifted to zero on axis at load (ibid.:176-179).
+
+All field derivatives (gradbtensor etc.) come from autodiff of `fields` in
+models/base.py — for the spline backend this differentiates the bicubic
+polynomial exactly, reproducing the reference's eval_2D_fpp second
+derivatives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Any, NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from rays_tpu.models import base, profiles, solovev as solovev_mod
+from rays_tpu.ops import splines
+from rays_tpu.tracing.stop import StopCode
+
+
+@dataclasses.dataclass(frozen=True)
+class AxisymToroidStatic:
+    magnetics_model: str = "solovev_magnetics"
+    density_prof_model: str = "parabolic"
+    temperature_prof_model: Tuple[str, ...] = ("zero",)
+
+
+class SolovevMagParams(NamedTuple):
+    rmaj: Any
+    kappa: Any
+    bphi0: Any
+    iota0: Any
+    outer_bound: Any
+
+
+class EqdskMagParams(NamedTuple):
+    psi_spline: Any    # Spline2D of psi(R, Z), shifted to 0 on axis
+    rbphi_spline: Any  # Spline1D of R*Bphi on the R grid
+    psib: Any          # PSIBOUND - PSIAXIS
+
+
+class AxisymToroidParams(NamedTuple):
+    mag: Any                 # SolovevMagParams | EqdskMagParams
+    plasma_psi_limit: Any
+    # density
+    alphan1: Any
+    alphan2: Any
+    d_scrape_off: Any
+    ne_knots: Any            # (K,) normalized ne(psiN) values or None
+    # temperature
+    alphat1: Any             # (S,)
+    alphat2: Any             # (S,)
+    t_scrape_off: Any
+    te_knots: Any            # (K,) normalized Te(psiN) or None
+    ti_knots: Any            # (K,) normalized Ti(psiN) or None
+    # bounding box
+    box_rmin: Any
+    box_rmax: Any
+    box_zmin: Any
+    box_zmax: Any
+
+
+def _solovev_view(mag: SolovevMagParams):
+    """Adapt the magnetics params to the models/solovev helpers."""
+    return solovev_mod.SolovevParams(
+        rmaj=mag.rmaj, kappa=mag.kappa, bphi0=mag.bphi0, iota0=mag.iota0,
+        outer_bound=mag.outer_bound,
+        alphan1=0.0, alphan2=0.0, alphat1=0.0, alphat2=0.0,
+        box_rmin=0.0, box_rmax=0.0, box_zmin=0.0, box_zmax=0.0,
+    )
+
+
+def magnetics(static: AxisymToroidStatic, p: AxisymToroidParams, rvec):
+    """(bvec_xyz, psi, psiN) at rvec."""
+    x, y, z = rvec[0], rvec[1], rvec[2]
+    r = jnp.maximum(jnp.sqrt(x**2 + y**2), 1e-12)
+
+    if static.magnetics_model == "solovev_magnetics":
+        sv = _solovev_view(p.mag)
+        br, bz, bphi = solovev_mod.b_cylindrical(sv, rvec)
+        psi, _, psiN, _ = solovev_mod.psi(sv, rvec)
+    elif static.magnetics_model in ("eqdsk_magnetics_spline_interp",
+                                    "eqdsk_magnetics_lin_interp"):
+        # lin_interp is served by the same spline backend (the reference
+        # keeps the linear version only as an accuracy A/B,
+        # eqdsk_magnetics_lin_interp_m.f90:2-6)
+        psi, psi_r, psi_z = splines.eval_2d_fp(p.mag.psi_spline, r, z)
+        rbphi = splines.eval_1d(p.mag.rbphi_spline, r)
+        br = psi_z / r
+        bz = -psi_r / r
+        bphi = rbphi / r
+        psiN = psi / p.mag.psib
+    else:
+        raise ValueError(f"unknown magnetics model {static.magnetics_model}")
+
+    bvec = jnp.stack([
+        br * x / r - bphi * y / r,
+        br * y / r + bphi * x / r,
+        bz,
+    ])
+    return bvec, psi, psiN
+
+
+def psi_and_grad(static, p: AxisymToroidParams, rvec):
+    """(psi, gradpsi, psiN, gradpsiN) — reference axisym_toroid_psi
+    (axisym_toroid_eq_m.f90:366+)."""
+    import jax
+
+    f = lambda xx: magnetics(static, p, xx)[1]
+    psi, gradpsi = jax.value_and_grad(f)(rvec)
+    if static.magnetics_model == "solovev_magnetics":
+        psib = solovev_mod.psi_boundary(_solovev_view(p.mag))
+    else:
+        psib = p.mag.psib
+    return psi, gradpsi, psi / psib, gradpsi / psib
+
+
+def _spline_profile(knots, psiN, floor):
+    """Normalized spline profile of psiN on a uniform [0, 1] knot grid with
+    constant scrape-off outside psiN > 1
+    (density_spline_interp_m.f90:2-15)."""
+    sp = splines.Spline1D(
+        x0=jnp.asarray(0.0), dx=jnp.asarray(1.0 / (knots.shape[-1] - 1)),
+        f=knots[0], m=knots[1])
+    inside = psiN <= 1.0
+    val = splines.eval_1d(sp, jnp.clip(psiN, 0.0, 1.0))
+    return jnp.where(inside, val, floor)
+
+
+def fields(static: AxisymToroidStatic, p: AxisymToroidParams, species, rvec):
+    bvec, psi, psiN = magnetics(static, p, rvec)
+
+    n0s, t0s = species.n0s, species.t0s
+    m = static.density_prof_model
+    if m == "constant":
+        ns = n0s
+    elif m == "parabolic":
+        f, _ = profiles.parabolic(psiN, p.d_scrape_off, p.alphan1, p.alphan2)
+        ns = n0s * f
+    elif m == "density_spline_interp":
+        ns = n0s * _spline_profile(p.ne_knots, psiN, p.d_scrape_off)
+    else:
+        raise ValueError(f"axisym_toroid: invalid density_prof_model {m}")
+
+    ts_list = []
+    for i, tm in enumerate(static.temperature_prof_model):
+        if tm == "zero":
+            ts_list.append(jnp.zeros_like(psiN))
+        elif tm == "constant":
+            ts_list.append(t0s[i] * jnp.ones_like(psiN))
+        elif tm == "parabolic":
+            f, _ = profiles.parabolic(psiN, p.t_scrape_off, p.alphat1[i],
+                                      p.alphat2[i])
+            ts_list.append(t0s[i] * f)
+        elif tm == "temperature_spline_interp":
+            knots = p.te_knots if i == 0 else p.ti_knots
+            ts_list.append(t0s[i] * _spline_profile(knots, psiN, p.t_scrape_off))
+        else:
+            raise ValueError(f"axisym_toroid: invalid temperature_prof_model {tm}")
+    ts = jnp.stack(ts_list)
+    return bvec, ns, ts
+
+
+def geom_err(static: AxisymToroidStatic, p: AxisymToroidParams, rvec):
+    """Box + plasma-boundary checks
+    (axisym_toroid_eq_m.f90:258-270,291)."""
+    x, y, z = rvec[0], rvec[1], rvec[2]
+    r = jnp.sqrt(x**2 + y**2)
+    _, _, psiN = magnetics(static, p, rvec)
+    code = jnp.int32(StopCode.OK)
+    code = jnp.where(psiN > p.plasma_psi_limit, jnp.int32(StopCode.OUT_OF_PLASMA), code)
+    code = jnp.where((z < p.box_zmin) | (z > p.box_zmax), jnp.int32(StopCode.Z_OUT_OF_BOX), code)
+    code = jnp.where((r < p.box_rmin) | (r > p.box_rmax), jnp.int32(StopCode.R_OUT_OF_BOX), code)
+    return code
+
+
+def err(static: AxisymToroidStatic, p: AxisymToroidParams, species, rvec):
+    """Full standalone check (geometry + positivity,
+    axisym_toroid_eq_m.f90:360-362)."""
+    _, ns, ts = fields(static, p, species, rvec)
+    from rays_tpu.models.base import _combine_err
+
+    return _combine_err(geom_err(static, p, rvec), ns, ts)
+
+
+def build_spline_knots(values):
+    """Pack a normalized profile knot array as (f, m) rows so the profile is
+    a pytree leaf pair usable inside jit (Spline1D rebuilt per eval)."""
+    values = np.asarray(values, dtype=np.float64)
+    values = values / values[0]
+    sp = splines.build_spline_1d(0.0, 1.0 / (len(values) - 1), values)
+    return jnp.stack([sp.f, sp.m])
+
+
+def build_eqdsk_mag_params(path) -> tuple:
+    """Load a G-EQDSK file into spline magnetics params (host-side).
+    Returns (EqdskMagParams, geqdsk) — the raw file object carries the
+    bounds/axis info the config layer needs."""
+    from rays_tpu.utils import eqdsk_io
+
+    g = eqdsk_io.read_geqdsk(path)
+    rg, zg = g.r_grid, g.z_grid
+    psi = g.psi - g.psiaxis  # shift psi to 0 on axis (reference :176-179)
+    psib = g.psibound - g.psiaxis
+    psi_spline = splines.build_spline_2d(rg[0], rg[1] - rg[0],
+                                         zg[0], zg[1] - zg[0], psi)
+    rbphi_spline = splines.build_spline_1d(rg[0], rg[1] - rg[0], g.T)
+    return EqdskMagParams(psi_spline=psi_spline, rbphi_spline=rbphi_spline,
+                          psib=jnp.asarray(psib)), g
+
+
+base.register_eq_model("axisym_toroid", sys.modules[__name__])

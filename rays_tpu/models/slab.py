@@ -157,18 +157,24 @@ def fields(static: SlabStatic, p: SlabParams, species, rvec):
     return bvec, ns, ts
 
 
-def err(static: SlabStatic, p: SlabParams, species, rvec):
-    """Validity checks (slab_eq_m.f90:162-169,303-306); first match wins."""
+def geom_err(static: SlabStatic, p: SlabParams, rvec):
+    """Bounding-box checks (slab_eq_m.f90:162-169); first match wins."""
     x, y, z = rvec[0], rvec[1], rvec[2]
-    _, ns, ts = fields(static, p, species, rvec)
     code = jnp.int32(StopCode.OK)
     # reverse priority order: later assignments are overridden by earlier checks
-    code = jnp.where(jnp.min(ts) < 0.0, jnp.int32(StopCode.NEGATIVE_TEMP), code)
-    code = jnp.where(jnp.min(ns) < 0.0, jnp.int32(StopCode.NEGATIVE_DENS), code)
     code = jnp.where((z < p.zmin) | (z > p.zmax), jnp.int32(StopCode.Z_OUT_OF_BOUNDS), code)
     code = jnp.where((y < p.ymin) | (y > p.ymax), jnp.int32(StopCode.Y_OUT_OF_BOUNDS), code)
     code = jnp.where((x < p.xmin) | (x > p.xmax), jnp.int32(StopCode.X_OUT_OF_BOUNDS), code)
     return code
+
+
+def err(static: SlabStatic, p: SlabParams, species, rvec):
+    """Full standalone validity check (geometry + positivity,
+    slab_eq_m.f90:162-169,303-306)."""
+    _, ns, ts = fields(static, p, species, rvec)
+    from rays_tpu.models.base import _combine_err
+
+    return _combine_err(geom_err(static, p, rvec), ns, ts)
 
 
 import sys

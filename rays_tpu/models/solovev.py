@@ -147,17 +147,22 @@ def fields(static: SolovevStatic, p: SolovevParams, species, rvec):
     return bvec, ns, ts
 
 
-def err(static: SolovevStatic, p: SolovevParams, species, rvec):
-    """R/z box checks (solovev_eq_m.f90:155-156) + negative values."""
+def geom_err(static: SolovevStatic, p: SolovevParams, rvec):
+    """R/z box checks (solovev_eq_m.f90:155-156)."""
     x, y, z = rvec[0], rvec[1], rvec[2]
     r = jnp.sqrt(x**2 + y**2)
-    _, ns, ts = fields(static, p, species, rvec)
     code = jnp.int32(StopCode.OK)
-    code = jnp.where(jnp.min(ts) < 0.0, jnp.int32(StopCode.NEGATIVE_TEMP), code)
-    code = jnp.where(jnp.min(ns) < 0.0, jnp.int32(StopCode.NEGATIVE_DENS), code)
     code = jnp.where((z < p.box_zmin) | (z > p.box_zmax), jnp.int32(StopCode.Z_OUT_OF_BOX), code)
     code = jnp.where((r < p.box_rmin) | (r > p.box_rmax), jnp.int32(StopCode.R_OUT_OF_BOX), code)
     return code
+
+
+def err(static: SolovevStatic, p: SolovevParams, species, rvec):
+    """Full standalone validity check (geometry + positivity)."""
+    _, ns, ts = fields(static, p, species, rvec)
+    from rays_tpu.models.base import _combine_err
+
+    return _combine_err(geom_err(static, p, rvec), ns, ts)
 
 
 base.register_eq_model("solovev", sys.modules[__name__])

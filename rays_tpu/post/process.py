@@ -1,0 +1,113 @@
+"""Post-processing orchestration.
+
+The functional analog of reference RAYS_project/post_process_lib/
+post_processing_m.f90 + the standalone post_process_RAYS executable: rebuild
+the run configuration from rays.in, load ray results (from memory — the
+RAYS_P in-process mode — or back from run_results.<label>.nc, the
+decoupled file-based mode, post_processing_m.f90:132-187), select the
+geometry processor from post_process_rays.in, and run deposition profiles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_results_nc(path):
+    """run_results.<label>.nc -> RayResults-like namespace (the reference's
+    read_results_instance_NC, ray_results_m.f90:253)."""
+    import jax.numpy as jnp
+
+    from rays_tpu.results.netcdf import read_results_nc
+    from rays_tpu.tracing.trace import RayResults
+
+    d = read_results_nc(path)
+
+    def f64(name):
+        return jnp.asarray(np.array(d[name], dtype=np.float64))
+
+    return RayResults(
+        ray_vec=f64("ray_vec"),
+        residual=f64("residual"),
+        npoints=jnp.asarray(np.array(d["npoints"], dtype=np.int32)),
+        stop_flag=jnp.zeros(d["npoints"].shape, jnp.int32),
+        initial_ray_power=f64("initial_ray_power"),
+        end_residuals=f64("end_residuals"),
+        max_residuals=f64("max_residuals"),
+        end_ray_parameter=f64("end_ray_parameter"),
+        start_ray_vec=f64("start_ray_vec"),
+        end_ray_vec=f64("end_ray_vec"),
+    )
+
+
+def post_process(cfg, params, results, rindex_vec0=None, pp_config=None):
+    """Dispatch the geometry processor (post_processing_m.f90:194-226)."""
+    pp_config = pp_config or {}
+    processor = pp_config.get("processor", cfg.equilib_model)
+
+    out = {}
+    if processor in ("slab",):
+        from rays_tpu.post import slab_processor
+
+        if rindex_vec0 is None:
+            rindex_vec0 = np.asarray(results.start_ray_vec[:, 3:6]) / float(
+                params.rf.k0)
+        out.update(slab_processor.process(cfg, params, results, rindex_vec0))
+    elif processor in ("solovev", "axisym_toroid"):
+        from rays_tpu.post import toroid_processor
+
+        out.update(toroid_processor.process(cfg, params, results))
+    elif processor in ("multiple_mirror",):
+        # mirror processor: eq grids along z + deposition; subset for now
+        pass
+    else:
+        raise ValueError(f"post_process: unknown processor {processor}")
+
+    # deposition profiles when a damping model ran
+    if cfg.damping_slot >= 0:
+        from rays_tpu.post import deposition
+
+        n_bins = int(pp_config.get("n_bins", 50))
+        for name in deposition.profile_names_for_geometry(cfg.equilib_model):
+            if name == "Ptotal_x":
+                xmin, xmax = float(params.eq.xmin), float(params.eq.xmax)
+            else:
+                xmin, xmax = 0.0, 1.0
+            out[name] = deposition.calculate_deposition_profile(
+                cfg, params, results, name, n_bins=n_bins, xmin=xmin, xmax=xmax)
+    return out
+
+
+def main(argv=None):
+    import argparse
+
+    import jax
+
+    from rays_tpu.config import schema
+    from rays_tpu.config.namelist import read_namelist_file
+
+    ap = argparse.ArgumentParser(
+        description="standalone post-processor (post_process_RAYS analog)")
+    ap.add_argument("rays_in", help="the run's rays.in file")
+    ap.add_argument("--pp", default="post_process_rays.in",
+                    help="post-process config namelist")
+    ap.add_argument("--results", default=None,
+                    help="run_results file (default run_results.<label>.nc)")
+    args = ap.parse_args(argv)
+
+    cfg, params = schema.from_file(args.rays_in)
+    import os
+
+    pp_cfg = {}
+    if os.path.exists(args.pp):
+        nml = read_namelist_file(args.pp)
+        pp_cfg.update(nml.get("post_process_list", {}))
+        pp_cfg.update(nml.get("deposition_profiles_list", {}))
+    results = load_results_nc(args.results or f"run_results.{cfg.run_label}.nc")
+    out = post_process(cfg, params, results, pp_config=pp_cfg)
+    for k, v in out.items():
+        print(f"{k}: {v if isinstance(v, str) else type(v).__name__}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Axisymmetric-toroid (and Solovev) post-processor.
+
+Re-design of reference RAYS_project/post_process_lib/
+axisym_toroid_processor_m.f90 (and the simpler solovev_processor_m.f90):
+
+* plasma-boundary finder: bisection on psiN = 1 along rays from the
+  magnetic axis (axisym_toroid_processor_m.f90:131);
+* psi(R, Z) contour grid + equilibrium R/Z grids to netCDF (:487,618);
+* radial profiles (ne, Te, |B|, alpha, gamma vs psiN) as XY curves (:775);
+* graphics description file for the reference plotters.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rays_tpu.ops import bisect
+from rays_tpu.post.xy_curves import XYCurve, write_xy_curves_nc
+from rays_tpu.wave import dispersion
+
+
+def _psiN_fn(cfg, params):
+    if cfg.equilib_model == "axisym_toroid":
+        from rays_tpu.models import axisym_toroid as at
+
+        return lambda r: at.magnetics(cfg.eq_static, params.eq, r)[2]
+    if cfg.equilib_model == "solovev":
+        from rays_tpu.models import solovev as sv
+
+        return lambda r: sv.psi(params.eq, r)[2]
+    raise ValueError(f"toroid processor: unsupported model {cfg.equilib_model}")
+
+
+def _axis_of(cfg, params):
+    if cfg.equilib_model == "axisym_toroid":
+        from rays_tpu.models import axisym_toroid as at
+
+        if cfg.eq_static.magnetics_model == "solovev_magnetics":
+            return float(params.eq.mag.rmaj), 0.0
+        # EQDSK: use the midpoint of the box as a starting axis guess
+        sp = params.eq.mag.psi_spline
+        return (float(sp.x0) + float(sp.dx) * (sp.f.shape[0] - 1) / 2.0, 0.0)
+    return float(params.eq.rmaj), 0.0
+
+
+def find_plasma_boundary(cfg, params, n_theta: int = 64, r_max: float = 3.0):
+    """(R, Z) points of the psiN = 1 surface found by bisection along rays
+    from the axis (axisym_toroid_processor_m.f90:131)."""
+    psiN = _psiN_fn(cfg, params)
+    r_axis, z_axis = _axis_of(cfg, params)
+    thetas = np.linspace(0.0, 2 * np.pi, n_theta, endpoint=False)
+
+    def one(theta):
+        def f(t):
+            r = r_axis + t * jnp.cos(theta)
+            z = z_axis + t * jnp.sin(theta)
+            return psiN(jnp.stack([r, jnp.zeros_like(r), z]))
+
+        t, ok = bisect.solve_bisection(f, 1.0, 1e-6, r_max)
+        return t, ok
+
+    t, ok = jax.jit(jax.vmap(one))(jnp.asarray(thetas))
+    t = np.asarray(t)
+    rb = r_axis + t * np.cos(thetas)
+    zb = z_axis + t * np.sin(thetas)
+    return rb, zb, np.asarray(ok)
+
+
+def write_eq_contour_grids(cfg, params, n_r=65, n_z=65, out_prefix=None):
+    """psi/psiN/|B|/ne on an (R, Z) grid -> netCDF for contour plots
+    (axisym_toroid_processor_m.f90:487,618)."""
+    from scipy.io import netcdf_file
+
+    from rays_tpu.models import base
+
+    psiN = _psiN_fn(cfg, params)
+    if cfg.equilib_model == "axisym_toroid":
+        rmin, rmax = float(params.eq.box_rmin), float(params.eq.box_rmax)
+        zmin, zmax = float(params.eq.box_zmin), float(params.eq.box_zmax)
+    else:
+        rmin, rmax = float(params.eq.box_rmin), float(params.eq.box_rmax)
+        zmin, zmax = float(params.eq.box_zmin), float(params.eq.box_zmax)
+    rs = np.linspace(rmin, rmax, n_r)
+    zs = np.linspace(zmin, zmax, n_z)
+
+    def one(r, z):
+        rvec = jnp.stack([r, jnp.zeros_like(r), z])
+        pn = psiN(rvec)
+        eq = base.equilibrium(cfg, params, rvec)
+        return pn, eq.bmag, eq.ns[0]
+
+    R, Z = np.meshgrid(rs, zs, indexing="ij")
+    pn, bmag, ne = (np.asarray(o).reshape(n_r, n_z) for o in jax.jit(
+        jax.vmap(one))(jnp.asarray(R.ravel()), jnp.asarray(Z.ravel())))
+
+    fname = (out_prefix or f"eq_RZ_grids.{cfg.run_label}") + ".nc"
+    f = netcdf_file(fname, "w")
+    try:
+        f.createDimension("n_R", n_r)
+        f.createDimension("n_Z", n_z)
+        for name, data in [("R_grid", rs), ("Z_grid", zs)]:
+            v = f.createVariable(name, np.float64,
+                                 ("n_R",) if name == "R_grid" else ("n_Z",))
+            v[:] = data
+        for name, data in [("psiN", pn), ("Bmag", bmag), ("ne", ne)]:
+            v = f.createVariable(name, np.float64, ("n_R", "n_Z"))
+            v[:] = data
+    finally:
+        f.close()
+    return fname
+
+
+def write_radial_profiles(cfg, params, n_points=101, out_prefix=None):
+    """Midplane radial profiles vs psiN as XY curves
+    (axisym_toroid_processor_m.f90:775)."""
+    from rays_tpu.models import base
+
+    psiN = _psiN_fn(cfg, params)
+    r_axis, z_axis = _axis_of(cfg, params)
+    if cfg.equilib_model == "axisym_toroid":
+        rmax = float(params.eq.box_rmax)
+    else:
+        rmax = float(params.eq.box_rmax)
+
+    rs = np.linspace(r_axis, rmax, n_points)
+
+    def one(r):
+        rvec = jnp.stack([r, jnp.zeros_like(r), jnp.asarray(z_axis)])
+        pn = psiN(rvec)
+        eq = base.equilibrium(cfg, params, rvec)
+        alpha, gamma, _, _ = dispersion.alpha_gamma(
+            cfg, params, rvec, params.rf.omgrf)
+        return pn, eq.ns[0], eq.ts[0], eq.bmag, alpha[0], gamma[0]
+
+    pn, ne, te, bmag, ae, ge = (np.asarray(o) for o in
+                                jax.jit(jax.vmap(one))(jnp.asarray(rs)))
+    curves = [
+        XYCurve("R", "psiN", rs, pn),
+        XYCurve("psiN", "ne", pn, ne),
+        XYCurve("psiN", "Te", pn, te),
+        XYCurve("psiN", "Bmag", pn, bmag),
+        XYCurve("psiN", "alpha_e", pn, ae),
+        XYCurve("psiN", "gamma_e", pn, ge),
+    ]
+    prefix = out_prefix or f"eq_radial_profiles.{cfg.run_label}"
+    return write_xy_curves_nc(curves, prefix)
+
+
+def write_graphics_description(cfg, params,
+                               path="graphics_description_axisym_toroid.dat",
+                               num_plot_k_vectors=5, scale_k_vec="max_len",
+                               k_vec_base_length=0.05):
+    rb, zb, _ = find_plasma_boundary(cfg, params, n_theta=32)
+    with open(path, "w") as f:
+        f.write(f" run_description = {cfg.run_description}\n")
+        f.write(f" run_label = {cfg.run_label}\n")
+        f.write(f" box_rmin = {float(params.eq.box_rmin)}\n")
+        f.write(f" box_rmax = {float(params.eq.box_rmax)}\n")
+        f.write(f" box_zmin = {float(params.eq.box_zmin)}\n")
+        f.write(f" box_zmax = {float(params.eq.box_zmax)}\n")
+        f.write(f" inner_bound = {rb.min()}\n")
+        f.write(f" outer_bound = {rb.max()}\n")
+        f.write(f" lower_bound = {zb.min()}\n")
+        f.write(f" upper_bound = {zb.max()}\n")
+        f.write(f" num_plot_k_vectors = {num_plot_k_vectors}\n")
+        f.write(f" scale_k_vec = {scale_k_vec}\n")
+        f.write(f" k_vec_base_length = {k_vec_base_length}\n")
+    return path
+
+
+def process(cfg, params, results):
+    out = {}
+    rb, zb, ok = find_plasma_boundary(cfg, params)
+    out["boundary"] = (rb, zb)
+    out["contours"] = write_eq_contour_grids(cfg, params)
+    out["profiles"] = write_radial_profiles(cfg, params)
+    out["graphics_description"] = write_graphics_description(cfg, params)
+    return out

@@ -1,14 +1,24 @@
-"""The ray right-hand side: Hamiltonian geometrical-optics equations by
-autodiff of the scalar dispersion function.
+"""The ray right-hand side: Hamiltonian geometrical-optics equations.
 
 Functional re-design of reference RAYS_project/RAYS_lib/eqn_ray.f90.
-dD/dx, dD/dk, dD/domega come from one ``jax.grad`` of
-``dispersion.dispersion_D`` (replacing deriv_cold.f90 / deriv_num.f90).
 State layout in the ODE vector v (ode_m.f90:158-175):
 
     v[0:3] = x,  v[3:6] = k,  v[6] = integrated arclength,
     [v[7] = total absorption]  [v[8:8+S] = per-species absorption]
     [5 gradient-diagnostic integrals]
+
+The equilibrium (values + all spatial gradients, by forward-mode AD of the
+model fields) is evaluated EXACTLY ONCE per RHS call; everything else is
+cheap per-species algebra.  Two interchangeable derivative paths reproduce
+the reference's ray_deriv_name A/B (eqn_ray.f90:106-123):
+
+  * 'cold' (default): the closed-form chain rule of the pole-free scalar D
+    through (alpha, gamma, n_par, n_perp^2) — deriv_cold.py, itself fully
+    differentiable so parameter adjoints flow through the whole scan;
+  * 'autodiff': dD/dx, dD/dk, dD/domega by one jax.grad of
+    dispersion.dispersion_D (re-evaluates the equilibrium inside the AD
+    trace — bigger compile, kept as the independent-path verification,
+    playing the role of the reference's deriv_num FD check).
 
 Returns (dvds, status): status is the first-triggered StopCode in the
 reference's order (equilibrium error -> infinite Vg -> ray stalled,
@@ -25,6 +35,7 @@ from rays_tpu import constants
 from rays_tpu.models import base
 from rays_tpu.tracing.stop import StopCode
 from rays_tpu.wave import damping as damping_mod
+from rays_tpu.wave import deriv_cold as deriv_cold_mod
 from rays_tpu.wave import dispersion
 
 
@@ -33,15 +44,18 @@ def eqn_ray(cfg, params, s, v):
     dt = v.dtype
     rvec = v[0:3]
     kvec = v[3:6]
-    omgrf = params.rf.omgrf
+    omgrf, k0 = params.rf.omgrf, params.rf.k0
     tiny = constants.SAFE_TINY
 
-    # equilibrium validity at this point (eqn_ray.f90:86-102)
-    err = base.eq_err(cfg, params, rvec)
+    # the single equilibrium evaluation (eqn_ray.f90:86-102)
+    eq = base.equilibrium(cfg, params, rvec)
+    err = eq.err
 
-    # dD/dx, dD/dk, dD/domega by autodiff of the scalar D
-    D = lambda x, k, w: dispersion.dispersion_D(cfg, params, x, k, w)
-    dddx, dddk, dddw = jax.grad(D, argnums=(0, 1, 2))(rvec, kvec, omgrf)
+    if getattr(cfg, "ray_deriv_name", "cold") == "autodiff":
+        D = lambda x, k, w: dispersion.dispersion_D(cfg, params, x, k, w)
+        dddx, dddk, dddw = jax.grad(D, argnums=(0, 1, 2))(rvec, kvec, omgrf)
+    else:
+        dddx, dddk, dddw = deriv_cold_mod.deriv_cold(eq, kvec / k0, omgrf, k0)
 
     # group velocity (eqn_ray.f90:131-144)
     safe_dddw = jnp.where(dddw == 0.0, jnp.asarray(1.0, dt), dddw)
@@ -70,7 +84,6 @@ def eqn_ray(cfg, params, s, v):
     parts = [dxds, dkds, dsd_ray_param[None]]
 
     if cfg.damping_model != "no_damp":
-        eq = base.equilibrium(cfg, params, rvec)
         ksi, ki = damping_mod.damping(cfg, params, eq, v[0:6], vg)
         # dP/ds = dsd * 2 ki (1 - P_total), P_total = v[7] (eqn_ray.f90:196-213)
         p_tot = v[7]
@@ -79,8 +92,6 @@ def eqn_ray(cfg, params, s, v):
             parts.append(dsd_ray_param * 2.0 * ksi * (1.0 - p_tot))
 
     if cfg.integrate_eq_gradients:
-        if cfg.damping_model == "no_damp":
-            eq = base.equilibrium(cfg, params, rvec)
         # d/ds of (B, ne, Te) along the ray (eqn_ray.f90:217-229)
         db = dsd_ray_param * (vg_unit @ eq.gradb)          # (3,)
         dne = dsd_ray_param * jnp.dot(vg_unit, eq.gradns[0])
@@ -111,8 +122,7 @@ def check_save(cfg, params, v):
     """
     rvec, kvec = v[0:3], v[3:6]
     k0 = params.rf.k0
-    alpha, gamma, bunit, _ = dispersion.alpha_gamma(cfg, params, rvec, params.rf.omgrf)
-    err = base.eq_err(cfg, params, rvec)
+    alpha, gamma, bunit, _, _, err = base.eq_point_light(cfg, params, rvec)
 
     k3 = jnp.dot(kvec, bunit)
     k1 = jnp.sqrt(jnp.sum((kvec - k3 * bunit) ** 2))

@@ -26,6 +26,7 @@ class StopCode(enum.IntEnum):
     NEGATIVE_DENS = 6
     NEGATIVE_TEMP = 7
     PSI_OUT_OF_BOUNDS = 8
+    OUT_OF_PLASMA = 9
     # RHS / solver errors (eqn_ray.f90:140-169, SG_ode_m.f90:140-147)
     INFINITE_VG = 10
     RAY_STALLED = 11
@@ -52,6 +53,7 @@ STOP_FLAG_STRINGS = {
     StopCode.NEGATIVE_DENS: "negative_dens",
     StopCode.NEGATIVE_TEMP: "negative_temp",
     StopCode.PSI_OUT_OF_BOUNDS: "psi out_of_bounds",
+    StopCode.OUT_OF_PLASMA: "out_of_plasma",
     StopCode.INFINITE_VG: "infinite Vg",
     StopCode.RAY_STALLED: "ray stalled",
     StopCode.ODE_TOTAL_ERROR: "ODE total error",

@@ -1,0 +1,125 @@
+"""Axisymmetric-toroid equilibrium tests: the analytic <-> EQDSK <-> spline
+fidelity loop (re-creating the reference's solovev_2_eqdsk +
+compare_analyt_2_interp strategy, SURVEY.md §4)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rays_tpu  # noqa: F401
+from rays_tpu.config import schema
+from rays_tpu.config.namelist import parse_namelist
+from rays_tpu.models import base
+from rays_tpu.utils import solovev_2_eqdsk
+from rays_tpu.utils.eqdsk_io import read_geqdsk, write_geqdsk
+
+AXISYM_TMPL = """
+&diagnostics_list
+ run_label='ax', integrate_eq_gradients=.false.
+/
+&species_list
+ n0=8.0e19, spec_name(0)='electron', t0s(0)=1.0e3,
+ spec_name(1)='deuterium', t0s(1)=1.0e2, eta(1)=1.
+/
+&rf_list
+ frf=90.e9, k0_sign=1, wave_mode='minus', ray_dispersion_model='cold',
+ ray_param='arcl', dispersion_resid_limit=0.1
+/
+&damping_list
+ damping_model='no_damp'
+/
+&equilibrium_list
+ equilib_model='axisym_toroid'
+/
+&axisym_toroid_eq_list
+ magnetics_model='{MAG}',
+ plasma_psi_limit=1.0,
+ density_prof_model='parabolic', alphan1=1.0, alphan2=2.0, d_scrape_off=0.05,
+ temperature_prof_model=2*'zero'
+/
+&solovev_magnetics_list
+ rmaj=1.2, outer_boundary=1.55, kappa=1.5, bphi0=2.2, iota0=0.3,
+ box_rmin=0.2, box_rmax=2.5, box_zmin=-2.0, box_zmax=2.0
+/
+&eqdsk_magnetics_spline_interp_list
+ eqdsk_file_name='{EQDSK}'
+/
+&ray_init_list
+ ray_init_model='axisym_toroid_ray_init_R_Z_nphi_ntheta', nray_max=20
+/
+&axisym_toroid_ray_init_R_Z_nphi_ntheta_list
+ n_R_launch=1, R_launch0=1.5, n_Z_launch=1, Z_launch0=0.0,
+ n_rindex_theta=2, rindex_theta0=0.0, delta_rindex_theta=0.2,
+ n_rindex_phi=1, rindex_phi0=0.3
+/
+&ode_list
+ ode_solver_name='RK4_ODE', nstep_max=60, ds=2.e-3, s_max=4.0
+/
+"""
+
+
+@pytest.fixture(scope="module")
+def eqdsk_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("eqdsk") / "solovev.geqdsk")
+    eq = solovev_2_eqdsk.solovev_geqdsk(rmaj=1.2, kappa=1.5, bphi0=2.2,
+                                        iota0=0.3, outer_bound=1.55,
+                                        nrbox=129, nzbox=129)
+    write_geqdsk(path, eq)
+    return path
+
+
+def test_geqdsk_roundtrip(eqdsk_file):
+    g = read_geqdsk(eqdsk_file)
+    assert g.nrbox == 129 and g.nzbox == 129
+    eq = solovev_2_eqdsk.solovev_geqdsk(nrbox=129, nzbox=129)
+    np.testing.assert_allclose(g.psi, eq.psi, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(g.psibound, eq.psibound, rtol=1e-8)
+
+
+def test_spline_magnetics_matches_analytic(eqdsk_file):
+    """compare_analyt_2_interp: B from the splined EQDSK must match the
+    closed-form Solovev field to spline accuracy (reference
+    solovev_2_eqdsk/compare_analyt_2_interp.f90)."""
+    cfg_a, p_a = schema.from_namelist(parse_namelist(
+        AXISYM_TMPL.format(MAG="solovev_magnetics", EQDSK=eqdsk_file)))
+    cfg_s, p_s = schema.from_namelist(parse_namelist(
+        AXISYM_TMPL.format(MAG="eqdsk_magnetics_spline_interp", EQDSK=eqdsk_file)))
+
+    pts = jnp.asarray([
+        [1.45, 0.0, 0.1], [1.2, 0.3, -0.2], [0.9, 0.2, 0.4], [1.5, 0.0, 0.0],
+    ])
+
+    @jax.jit
+    def eval_both(p_a, p_s, pts):
+        def one(x):
+            ea = base.equilibrium(cfg_a, p_a._replace(eq=p_a.eq), x)
+            es = base.equilibrium(cfg_s, p_s.__class__(**p_s._asdict()), x)
+            return ea.bvec, es.bvec, ea.gradb, es.gradb, ea.ns, es.ns
+        return jax.vmap(one)(pts)
+
+    ba, bs, ga, gs, na, nss = (np.asarray(o) for o in eval_both(p_a, p_s, pts))
+    np.testing.assert_allclose(bs, ba, rtol=2e-6, atol=1e-8)
+    np.testing.assert_allclose(gs, ga, rtol=5e-4, atol=2e-5)
+    np.testing.assert_allclose(nss, na, rtol=1e-5, atol=1e12)
+
+
+def test_axisym_ray_trace_runs(eqdsk_file):
+    """End-to-end: ray init on the EQDSK equilibrium + short trace keeps
+    the dispersion residual small."""
+    from rays_tpu import run as runner
+    from rays_tpu.rayinit import vector as init_vector
+    from rays_tpu.tracing import trace as trace_mod
+
+    cfg, params = schema.from_namelist(parse_namelist(
+        AXISYM_TMPL.format(MAG="eqdsk_magnetics_spline_interp", EQDSK=eqdsk_file)))
+    rvec0, rindex0, pwr = runner.init_rays(cfg, params)
+    assert rvec0.shape[0] >= 1
+    v0 = init_vector.initial_ode_vectors(cfg, params, rvec0, rindex0)
+    st = jnp.zeros((v0.shape[0],), jnp.int32)
+    res = jax.jit(lambda p, v, s, w: trace_mod.trace_batch(cfg, p, v, s, w))(
+        params, v0, st, pwr)
+    assert np.asarray(res.npoints).min() > 5
+    assert np.asarray(res.max_residuals).max() < 1e-4

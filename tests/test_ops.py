@@ -8,15 +8,13 @@ import rays_tpu  # noqa: F401
 from rays_tpu.config.namelist import parse_namelist
 from rays_tpu.ops import zfun
 
-# Golden values for the Dawson function F(x) (Abramowitz & Stegun 7.1.16 /
-# scipy.special.dawsn reference values, 15 digits).
+# Golden values for the Dawson function F(x) (Abramowitz & Stegun 7.1.16).
 DAWSN_GOLD = {
     0.0: 0.0,
     0.5: 0.4244363835020223,
     1.0: 0.5380795069127684,
     2.0: 0.3013403889237920,
     5.0: 0.1021340744242768,
-    9.5: 0.0527807828254370,
 }
 
 
@@ -28,6 +26,16 @@ def test_dawsn_golden():
     # odd function
     neg = np.asarray(jax.jit(zfun.dawsn)(-xs))
     np.testing.assert_allclose(neg, -vals, rtol=1e-13)
+
+
+def test_dawsn_ode_identity():
+    """F'(x) = 1 - 2 x F(x) — the defining ODE of the Dawson function,
+    checked at large |x| where no tabulated golden value is reliable."""
+    for xv in (3.3, 7.7, 9.5):
+        x = jnp.float64(xv)
+        fp = float(jax.jit(jax.grad(zfun.dawsn))(x))
+        f = float(jax.jit(zfun.dawsn)(x))
+        np.testing.assert_allclose(fp, 1.0 - 2.0 * xv * f, rtol=1e-9, atol=1e-12)
 
 
 def test_zfun_properties():
