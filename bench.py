@@ -21,7 +21,7 @@ from rays_tpu import examples
 from rays_tpu.tracing import trace as trace_mod
 
 BASELINE_RAYS_PER_S = 1.0e3  # pinned single-core Fortran estimate, see above
-N_RAYS = 4096
+N_RAYS = int(__import__("os").environ.get("RAYS_TPU_BENCH_RAYS", 32768))
 N_STEPS = 500
 
 
@@ -53,7 +53,8 @@ def main():
     print(json.dumps({
         "metric": "rays_per_s_per_chip_rk4_forward_f64",
         "value": round(rays_per_s, 2),
-        "unit": f"rays/s ({N_RAYS} rays x {N_STEPS} RK4 steps, f64, slab ECH)",
+        "unit": (f"rays/s ({N_RAYS} rays x {N_STEPS} RK4 steps, f64, "
+                 f"slab ECH, {dt:.3f}s/batch)"),
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
     }))
 

@@ -103,16 +103,17 @@ def species_from_namelist(nml):
 
 def build_species_params(qs, ms, eta, n0, t0_ev, omgrf_ref) -> SpeciesParams:
     """Assemble SpeciesParams with the nondimensional alpha/gamma
-    coefficients precomputed HOST-SIDE in true float64 (the raw SI
-    expressions underflow TPU f64 emulation's f32 exponent range; see
-    SpeciesParams docstring)."""
-    alpha_coef = qs**2 / (constants.EPS0 * ms * omgrf_ref**2)
+    coefficients precomputed HOST-SIDE in true float64, and densities
+    NORMALIZED to the reference electron density (see SpeciesParams
+    docstring for the TPU numeric-range rationale)."""
+    alpha_coef = n0 * qs**2 / (constants.EPS0 * ms * omgrf_ref**2)
     gamma_coef = qs / (ms * omgrf_ref)
     return SpeciesParams(
         qs=jnp.asarray(qs),
         ms=jnp.asarray(ms),
         eta=jnp.asarray(eta),
-        n0s=jnp.asarray(eta * n0),
+        n0s=jnp.asarray(eta),        # normalized: ns in units of n_ref
+        n_ref=jnp.float64(n0),
         t0s=jnp.asarray(t0_ev * constants.E_CHARGE),
         alpha_coef=jnp.asarray(alpha_coef),
         gamma_coef=jnp.asarray(gamma_coef),

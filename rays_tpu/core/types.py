@@ -22,22 +22,32 @@ class SpeciesParams(NamedTuple):
 
     Index 0 is electrons, 1..nspec are ions; arrays have length nspec+1.
 
-    ``alpha_coef``/``gamma_coef`` are host-precomputed (true f64)
-    nondimensional factors so that on device
+    DENSITIES ARE NORMALIZED on device: ``n0s`` holds the species densities
+    relative to the reference electron density ``n_ref`` (i.e. the eta
+    concentrations), and every equilibrium model's ns output is in the same
+    units.  The physical scale lives only in the host-precomputed
 
-        alpha_s = alpha_coef_s * n_s * (omgrf_ref/omega)^2
+        alpha_coef_s = n_ref * qs^2 / (eps0 * ms * omgrf_ref^2)
+
+    so that on device
+
+        alpha_s = alpha_coef_s * ns_norm_s * (omgrf_ref/omega)^2
         gamma_s = gamma_coef_s * |B| * (omgrf_ref/omega)
 
-    — TPU f64 emulation only has f32 exponent range, and the raw SI form
-    (n q^2 / (eps0 m omega^2), with eps0*m_e ~ 8e-42) underflows it.
+    with every quantity O(1)..O(1e27).  TPU f64 emulation only has f32
+    exponent range (~1e+-38): the raw SI forms underflow it forward
+    (eps0*m_e ~ 8e-42) and physical densities overflow it in REVERSE mode
+    (the transpose of gradns/ns squares ns ~ 1e20).  Multiply by ``n_ref``
+    only at output boundaries (post-processing profiles).
     """
 
     qs: Any          # (S,) charge [C]
     ms: Any          # (S,) mass [kg]
     eta: Any         # (S,) concentration as fraction of electron density
-    n0s: Any         # (S,) reference density [m^-3]
+    n0s: Any         # (S,) NORMALIZED reference densities (= eta)
+    n_ref: Any       # () physical reference electron density [m^-3]
     t0s: Any         # (S,) temperature [J]
-    alpha_coef: Any  # (S,) qs^2/(eps0*ms*omgrf_ref^2)
+    alpha_coef: Any  # (S,) n_ref*qs^2/(eps0*ms*omgrf_ref^2)
     gamma_coef: Any  # (S,) qs/(ms*omgrf_ref)
 
 

@@ -123,7 +123,8 @@ def fields(static: SlabStatic, p: SlabParams, species, rvec):
     elif m == "linear":
         ns = n0s * (1.0 + x / p.ln_scale)
     elif m == "linear_2":
-        ns = n0s + p.dndx * species.eta * (x - p.x0)
+        # dndx is a physical slope [m^-3/m]; densities are normalized
+        ns = n0s + (p.dndx / species.n_ref) * species.eta * (x - p.x0)
     elif m == "parabolic":
         f, _ = profiles.parabolic(x / p.rmin, p.n_min, p.alphan1, p.alphan2)
         ns = n0s * f

@@ -20,15 +20,19 @@ def ellipk_ellipe(m):
     a, b = one, jnp.sqrt(jnp.clip(1.0 - m, 1e-30, None))
     c2_sum = 0.5 * m  # c0^2 * 2^{-1} with c0^2 = m, coefficient 2^{n-1}
 
+    # track 2^{n-1} by doubling a carry value: `2.0 ** n` with a traced
+    # exponent lowers through exp/log and loses precision under TPU f64
+    # emulation
     def body(n, carry):
-        a, b, s = carry
+        a, b, s, pw = carry
         an = 0.5 * (a + b)
         bn = jnp.sqrt(a * b)
         cn = 0.5 * (a - b)
-        s = s + 2.0 ** n * cn**2 * 0.5
-        return an, bn, s
+        s = s + pw * cn**2
+        return an, bn, s, 2.0 * pw
 
-    a, b, s = jax.lax.fori_loop(1, _N_AGM + 1, body, (a, b, c2_sum))
+    a, b, s, _ = jax.lax.fori_loop(
+        1, _N_AGM + 1, body, (a, b, c2_sum, jnp.ones_like(m)))
     K = jnp.pi / (2.0 * a)
     E = K * (1.0 - s)
     return K, E

@@ -58,8 +58,12 @@ def post_process(cfg, params, results, rindex_vec0=None, pp_config=None):
 
         out.update(toroid_processor.process(cfg, params, results))
     elif processor in ("multiple_mirror",):
-        # mirror processor: eq grids along z + deposition; subset for now
-        pass
+        from rays_tpu.post import mirror_processor
+
+        out.update(mirror_processor.process(
+            cfg, params, results,
+            z_reference=pp_config.get("z_reference"),
+            do_ox_analysis=bool(pp_config.get("do_ox_conv_analysis", True))))
     else:
         raise ValueError(f"post_process: unknown processor {processor}")
 

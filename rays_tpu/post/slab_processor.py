@@ -100,7 +100,7 @@ def write_eq_profiles(cfg, params, n_points=101, out_prefix=None):
         eq = base.equilibrium(cfg, params, rvec)
         alpha, gamma, _, _ = dispersion.alpha_gamma(
             cfg, params, rvec, params.rf.omgrf)
-        return eq.ns[0], eq.bmag, eq.ts[0], alpha[0], gamma[0]
+        return eq.ns[0] * params.species.n_ref, eq.bmag, eq.ts[0], alpha[0], gamma[0]
 
     ne, bmag, te, ae, ge = (np.asarray(o) for o in
                             jax.jit(jax.vmap(one))(jnp.asarray(xs)))

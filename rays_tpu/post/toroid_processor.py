@@ -89,7 +89,7 @@ def write_eq_contour_grids(cfg, params, n_r=65, n_z=65, out_prefix=None):
         rvec = jnp.stack([r, jnp.zeros_like(r), z])
         pn = psiN(rvec)
         eq = base.equilibrium(cfg, params, rvec)
-        return pn, eq.bmag, eq.ns[0]
+        return pn, eq.bmag, eq.ns[0] * params.species.n_ref
 
     R, Z = np.meshgrid(rs, zs, indexing="ij")
     pn, bmag, ne = (np.asarray(o).reshape(n_r, n_z) for o in jax.jit(
@@ -132,7 +132,7 @@ def write_radial_profiles(cfg, params, n_points=101, out_prefix=None):
         eq = base.equilibrium(cfg, params, rvec)
         alpha, gamma, _, _ = dispersion.alpha_gamma(
             cfg, params, rvec, params.rf.omgrf)
-        return pn, eq.ns[0], eq.ts[0], eq.bmag, alpha[0], gamma[0]
+        return pn, eq.ns[0] * params.species.n_ref, eq.ts[0], eq.bmag, alpha[0], gamma[0]
 
     pn, ne, te, bmag, ae, ge = (np.asarray(o) for o in
                                 jax.jit(jax.vmap(one))(jnp.asarray(rs)))

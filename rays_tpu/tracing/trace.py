@@ -71,7 +71,7 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
     status = jnp.where(status0 != 0, status0, st0)
 
     def body(carry, k):
-        v, status, nstep = carry
+        v, status, nstep, end_res, max_res = carry
         s = k.astype(v.dtype) * ds
         sout = (k + 1).astype(v.dtype) * ds
 
@@ -91,16 +91,19 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
 
         v = jnp.where(ok[:, None], v_new, v)
         nstep = nstep + ok.astype(jnp.int32)
+        end_res = jnp.where(ok, resid, end_res)
+        max_res = jnp.where(ok, jnp.maximum(max_res, resid), max_res)
 
         if cfg.save_trajectory:
             out = (jnp.where(ok[:, None], v, 0.0), jnp.where(ok, resid, 0.0), ok)
         else:
-            out = (jnp.where(ok, resid, 0.0), ok)
-        return (v, status, nstep), out
+            out = None  # summaries live in the carry: no per-step HBM writes
+        return (v, status, nstep, end_res, max_res), out
 
     B = v0.shape[0]
-    init = (v0, status, jnp.zeros((B,), jnp.int32))
-    (v_f, status_f, nstep_f), outs = jax.lax.scan(
+    zero = jnp.zeros((B,), v0.dtype)
+    init = (v0, status, jnp.zeros((B,), jnp.int32), zero, zero)
+    (v_f, status_f, nstep_f, end_res, max_res), outs = jax.lax.scan(
         body, init, jnp.arange(cfg.nstep_max)
     )
 
@@ -114,19 +117,14 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
             [jnp.zeros((B, 1), v0.dtype), jnp.moveaxis(resids, 0, 1)], axis=1
         )
     else:
-        resids, oks = outs
         ray_vec = jnp.zeros((B, 1, v0.shape[1]), v0.dtype)
-        residual = jnp.concatenate(
-            [jnp.zeros((B, 1), v0.dtype), jnp.moveaxis(resids, 0, 1)], axis=1
-        )
+        residual = jnp.zeros((B, 1), v0.dtype)
 
     npoints = 1 + nstep_f
-    # residual at the last accepted point; max over accepted points.
+    # end/max residual over accepted points (kept in the scan carry).
     # (The reference's end/max indexing is off by one at the boundary,
-    # ray_results writes residual(nstep,iray) — we use the last *stored*
+    # ray_results writes residual(nstep,iray) — we use the last accepted
     # point, which is what its plots consume.)
-    end_res = jnp.take_along_axis(residual, (npoints - 1)[:, None], axis=1)[:, 0]
-    max_res = jnp.max(residual, axis=1)
 
     return RayResults(
         ray_vec=ray_vec,

@@ -35,8 +35,13 @@ def solovev_geqdsk(rmaj=1.2, kappa=1.5, bphi0=2.2, iota0=0.3,
     r = np.linspace(box_rmin, box_rmax, nrbox)
     z = np.linspace(box_zmin, box_zmax, nzbox)
     R, Z = np.meshgrid(r, z, indexing="ij")
-    psi = 0.5 * bp0 * ((R * Z / (rmaj * kappa)) ** 2
-                       + ((R**2 - rmaj**2) ** 2) / rmaj**2 / 4.0)
+    # psi sign convention: the Solovev analytic field uses Bz = +psi_R/R
+    # (solovev_eq_m.f90:308-314) while the EQDSK reader uses Bz = -psi_R/R
+    # (eqdsk_magnetics_spline_interp_m.f90:238-240) — a COCOS difference.
+    # Write psi with the EQDSK convention so the splined field reproduces
+    # the analytic one (psiN is sign-invariant: psi/psibound).
+    psi = -0.5 * bp0 * ((R * Z / (rmaj * kappa)) ** 2
+                        + ((R**2 - rmaj**2) ** 2) / rmaj**2 / 4.0)
 
     # analytic boundary (up-down symmetric, odd NBOUND;
     # solovev_2_eqdsk.f90:140-156)
@@ -53,7 +58,7 @@ def solovev_geqdsk(rmaj=1.2, kappa=1.5, bphi0=2.2, iota0=0.3,
         header="rays_tpu solovev_2_eqdsk", nrbox=nrbox, nzbox=nzbox,
         rboxlen=box_rmax - box_rmin, zboxlen=box_zmax - box_zmin,
         r0=rmaj, rboxlft=box_rmin, zoff=0.0,
-        raxis=rmaj, zaxis=0.0, psiaxis=0.0, psibound=psib, b0=bphi0,
+        raxis=rmaj, zaxis=0.0, psiaxis=0.0, psibound=-psib, b0=bphi0,
         current=0.0,
         T=np.full(nrbox, bphi0 * rmaj), P=np.zeros(nrbox),
         TTp=np.zeros(nrbox), Pp=np.zeros(nrbox), Q=np.zeros(nrbox),

@@ -101,9 +101,11 @@ def test_spline_magnetics_matches_analytic(eqdsk_file):
         return jax.vmap(one)(pts)
 
     ba, bs, ga, gs, na, nss = (np.asarray(o) for o in eval_both(p_a, p_s, pts))
-    np.testing.assert_allclose(bs, ba, rtol=2e-6, atol=1e-8)
-    np.testing.assert_allclose(gs, ga, rtol=5e-4, atol=2e-5)
-    np.testing.assert_allclose(nss, na, rtol=1e-5, atol=1e12)
+    # spline-accuracy class: B from psi first derivatives ~ O(h^3),
+    # gradb from second derivatives ~ O(h^2), h = 1.35/128
+    np.testing.assert_allclose(bs, ba, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(gs, ga, rtol=2e-3, atol=1e-3)
+    np.testing.assert_allclose(nss, na, rtol=1e-4, atol=1e-6)
 
 
 def test_axisym_ray_trace_runs(eqdsk_file):
