@@ -55,6 +55,14 @@ class EqdskMagParams(NamedTuple):
     psi_spline: Any    # Spline2D of psi(R, Z), shifted to 0 on axis
     rbphi_spline: Any  # Spline1D of R*Bphi on the R grid
     psib: Any          # PSIBOUND - PSIAXIS
+    # flux-coordinate profile splines (reference
+    # eqdsk_magnetics_spline_interp_m.f90:183-199): Q and rho = sqrt of
+    # normalized toroidal flux on the uniform psiN grid, plus the inverse
+    # map psiN(rho) on the matching uniform rho grid
+    q_spline: Any = None        # Spline1D of Q(psiN)
+    rho_spline: Any = None      # Spline1D of rho(psiN)
+    tflux_spline: Any = None    # Spline1D of toroidal flux(psiN), unnormalized
+    psin_rho_spline: Any = None  # Spline1D of psiN(rho)
 
 
 class AxisymToroidParams(NamedTuple):
@@ -131,6 +139,39 @@ def psi_and_grad(static, p: AxisymToroidParams, rvec):
     else:
         psib = p.mag.psib
     return psi, gradpsi, psi / psib, gradpsi / psib
+
+
+def q_of_psiN(p: AxisymToroidParams, psiN):
+    """(Q, dQ/dpsiN) from the EQDSK Q spline (reference
+    eqdsk_magnetics_spline_interp_Q_psiN, eqdsk_magnetics_spline_interp_m
+    .f90:355-365)."""
+    return splines.eval_1d_fp(p.mag.q_spline, psiN)
+
+
+def rho_of_psiN(p: AxisymToroidParams, psiN):
+    """(rho, drho/dpsiN), rho = sqrt(normalized toroidal flux) (reference
+    …_rho_PsiN, eqdsk_magnetics_spline_interp_m.f90:368-378)."""
+    return splines.eval_1d_fp(p.mag.rho_spline, psiN)
+
+
+def psiN_of_rho(p: AxisymToroidParams, rho):
+    """(psiN, dpsiN/drho) inverse coordinate map (reference …_PsiN_rho,
+    eqdsk_magnetics_spline_interp_m.f90:380-390)."""
+    return splines.eval_1d_fp(p.mag.psin_rho_spline, rho)
+
+
+def rho_and_grad(static, p: AxisymToroidParams, rvec):
+    """(rho, gradrho) at a spatial point — reference axisym_toroid_rho
+    (axisym_toroid_eq_m.f90:399-437) / eqdsk_magnetics_spline_interp_rho
+    (:325-352).  Only defined for the EQDSK spline magnetics backend (the
+    reference's solovev/lin-interp branches are commented out and fatal)."""
+    if p.mag.__class__ is not EqdskMagParams or p.mag.rho_spline is None:
+        raise ValueError(
+            "axisym_toroid_rho: only available for eqdsk_magnetics_"
+            "spline_interp (as in the reference)")
+    _, _, psiN, gradpsiN = psi_and_grad(static, p, rvec)
+    rho, drho_dpsiN = rho_of_psiN(p, psiN)
+    return rho, gradpsiN * drho_dpsiN
 
 
 def _spline_profile(knots, psiN, floor):
@@ -223,8 +264,37 @@ def build_eqdsk_mag_params(path) -> tuple:
     psi_spline = splines.build_spline_2d(rg[0], rg[1] - rg[0],
                                          zg[0], zg[1] - zg[0], psi)
     rbphi_spline = splines.build_spline_1d(rg[0], rg[1] - rg[0], g.T)
+
+    # flux-coordinate splines on the uniform psiN grid (reference
+    # eqdsk_magnetics_spline_interp_m.f90:169-199 + calculate_rho_on_psiNgrid
+    # :409-439): toroidal flux by cumulative trapezoid of Q over psiN,
+    # rho = sqrt(Tflux/Tflux_total); inverse psiN(rho) on the same uniform
+    # [0, 1] grid by bisection on the rho spline (:444-470, eps 1e-5)
+    n = len(g.Q)
+    dpsiN = 1.0 / (n - 1)
+    psiN_grid = np.linspace(0.0, 1.0, n)
+    tflux = np.concatenate(
+        [[0.0], np.cumsum((g.Q[1:] + g.Q[:-1]) * 0.5 * dpsiN)])
+    rho = np.sqrt(tflux / tflux[-1])
+    q_spline = splines.build_spline_1d(0.0, dpsiN, g.Q)
+    rho_spline = splines.build_spline_1d(0.0, dpsiN, rho)
+    tflux_spline = splines.build_spline_1d(0.0, dpsiN, tflux)
+
+    rho_f = lambda pn: np.asarray(
+        splines.eval_1d(rho_spline, jnp.asarray(pn)))
+    lo, hi = np.zeros(n), np.ones(n)
+    for _ in range(40):  # bisection to ~1e-12, exceeding the reference's 1e-5
+        mid = 0.5 * (lo + hi)
+        below = rho_f(mid) < psiN_grid  # target rho values = uniform grid
+        lo, hi = np.where(below, mid, lo), np.where(below, hi, mid)
+    psin_on_rho = 0.5 * (lo + hi)
+    psin_on_rho[0], psin_on_rho[-1] = 0.0, 1.0
+    psin_rho_spline = splines.build_spline_1d(0.0, dpsiN, psin_on_rho)
+
     return EqdskMagParams(psi_spline=psi_spline, rbphi_spline=rbphi_spline,
-                          psib=jnp.asarray(psib)), g
+                          psib=jnp.asarray(psib), q_spline=q_spline,
+                          rho_spline=rho_spline, tflux_spline=tflux_spline,
+                          psin_rho_spline=psin_rho_spline), g
 
 
 base.register_eq_model("axisym_toroid", sys.modules[__name__])

@@ -44,6 +44,20 @@ def _coordinate_fn(cfg, params, which: str):
 
             return lambda r: sv.psi(params.eq, r)[2]
         raise ValueError(f"Ptotal_psi not available for {cfg.equilib_model}")
+    if which == "Ptotal_rho":
+        # rho = sqrt(normalized toroidal flux); EQDSK magnetics only
+        # (Ptotal_axisym_rho_evaluator, deposition_profiles_m.f90:479-499)
+        from rays_tpu.models import axisym_toroid as at
+
+        if cfg.equilib_model != "axisym_toroid":
+            raise ValueError(f"Ptotal_rho not available for {cfg.equilib_model}")
+        return lambda r: at.rho_and_grad(cfg.eq_static, params.eq, r)[0]
+    if which == "Ptotal_AphiN":
+        from rays_tpu.models import multiple_mirror as mm
+
+        if cfg.equilib_model != "multiple_mirror":
+            raise ValueError(f"Ptotal_AphiN not available for {cfg.equilib_model}")
+        return lambda r: mm.aphi_and_grad(cfg.eq_static, params.eq, r)[2]
     raise ValueError(f"unknown deposition profile {which}")
 
 
@@ -78,12 +92,19 @@ def calculate_deposition_profile(cfg, params, results, which: str,
     return DepositionProfile(name=which, grid=edges, profile=total)
 
 
-def profile_names_for_geometry(equilib_model: str):
-    """Registry (deposition_profiles_m.f90:38-45)."""
+def profile_names_for_geometry(equilib_model: str, cfg=None):
+    """Registry (deposition_profiles_m.f90:38-45).  Ptotal_rho joins the
+    axisym_toroid list only when the magnetics backend defines rho (EQDSK
+    spline) — the reference would fatal-error on other backends."""
     if equilib_model == "slab":
         return ("Ptotal_x",)
-    if equilib_model in ("solovev", "axisym_toroid"):
+    if equilib_model == "solovev":
         return ("Ptotal_psi",)
+    if equilib_model == "axisym_toroid":
+        names = ["Ptotal_psi"]
+        if cfg is not None and "eqdsk" in cfg.eq_static.magnetics_model:
+            names.append("Ptotal_rho")
+        return tuple(names)
     if equilib_model == "multiple_mirror":
         return ("Ptotal_AphiN",)
     return ()

@@ -125,3 +125,43 @@ def test_axisym_ray_trace_runs(eqdsk_file):
         params, v0, st, pwr)
     assert np.asarray(res.npoints).min() > 5
     assert np.asarray(res.max_residuals).max() < 1e-4
+
+
+def test_rho_coordinate_splines(eqdsk_file):
+    """Q(psiN) / rho(psiN) / psiN(rho) coordinate maps (reference
+    eqdsk_magnetics_spline_interp_m.f90:183-199,325-390).
+
+    For the Solovev-written EQDSK, q(psiN) is q0/sqrt(1-psiN*(1-(R0/Rb)^2))
+    -like but we only check the structural invariants: rho is monotonic,
+    rho(0)=0, rho(1)=1, psiN(rho(psiN)) is the identity, and gradrho is
+    parallel to gradpsiN."""
+    from rays_tpu.models import axisym_toroid as at
+
+    cfg, params = schema.from_namelist(parse_namelist(
+        AXISYM_TMPL.format(MAG="eqdsk_magnetics_spline_interp", EQDSK=eqdsk_file)))
+
+    psiN = jnp.linspace(0.0, 1.0, 41)
+    rho, drho = jax.vmap(lambda x: at.rho_of_psiN(params.eq, x))(psiN)
+    rho = np.asarray(rho)
+    assert rho[0] == pytest.approx(0.0, abs=1e-12)
+    assert rho[-1] == pytest.approx(1.0, abs=1e-10)
+    assert np.all(np.diff(rho) > 0)
+    # inverse map round trip
+    psiN_back, _ = jax.vmap(lambda r: at.psiN_of_rho(params.eq, r))(
+        jnp.asarray(rho))
+    np.testing.assert_allclose(np.asarray(psiN_back), np.asarray(psiN),
+                               atol=5e-5)
+    # Q spline reproduces the file values at knots
+    g = read_geqdsk(eqdsk_file)
+    qv, _ = jax.vmap(lambda x: at.q_of_psiN(params.eq, x))(
+        jnp.linspace(0.0, 1.0, len(g.Q)))
+    np.testing.assert_allclose(np.asarray(qv), g.Q, rtol=1e-10)
+    # pointwise rho + grad: parallel to gradpsiN, chain-rule magnitude
+    rvec = jnp.asarray([1.4, 0.05, 0.1])
+    r, gradr = at.rho_and_grad(cfg.eq_static, params.eq, rvec)
+    _, _, psiN_pt, gradpsiN = at.psi_and_grad(cfg.eq_static, params.eq, rvec)
+    rho_pt, drho_pt = at.rho_of_psiN(params.eq, psiN_pt)
+    assert float(r) == pytest.approx(float(rho_pt), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(gradr),
+                               np.asarray(gradpsiN) * float(drho_pt),
+                               rtol=1e-12)
