@@ -148,15 +148,25 @@ def q_of_psiN(p: AxisymToroidParams, psiN):
     return splines.eval_1d_fp(p.mag.q_spline, psiN)
 
 
+def _require_rho(p: AxisymToroidParams):
+    if getattr(p.mag, "rho_spline", None) is None:
+        raise ValueError(
+            "rho coordinate maps unavailable: the EQDSK file carries no "
+            "usable Q profile (e.g. Solovev-generated files write Q=0, "
+            "matching reference solovev_2_eqdsk.f90:90)")
+
+
 def rho_of_psiN(p: AxisymToroidParams, psiN):
     """(rho, drho/dpsiN), rho = sqrt(normalized toroidal flux) (reference
     …_rho_PsiN, eqdsk_magnetics_spline_interp_m.f90:368-378)."""
+    _require_rho(p)
     return splines.eval_1d_fp(p.mag.rho_spline, psiN)
 
 
 def psiN_of_rho(p: AxisymToroidParams, rho):
     """(psiN, dpsiN/drho) inverse coordinate map (reference …_PsiN_rho,
     eqdsk_magnetics_spline_interp_m.f90:380-390)."""
+    _require_rho(p)
     return splines.eval_1d_fp(p.mag.psin_rho_spline, rho)
 
 
@@ -269,27 +279,36 @@ def build_eqdsk_mag_params(path) -> tuple:
     # eqdsk_magnetics_spline_interp_m.f90:169-199 + calculate_rho_on_psiNgrid
     # :409-439): toroidal flux by cumulative trapezoid of Q over psiN,
     # rho = sqrt(Tflux/Tflux_total); inverse psiN(rho) on the same uniform
-    # [0, 1] grid by bisection on the rho spline (:444-470, eps 1e-5)
+    # [0, 1] grid by bisection on the rho spline (:444-470, eps 1e-5).
+    #
+    # Files that carry no usable Q profile (e.g. the Solovev generator
+    # writes Q = 0 exactly, matching reference solovev_2_eqdsk.f90:90) get
+    # no rho machinery — reference behavior is that axisym_toroid_rho is
+    # unavailable on such backends (axisym_toroid_eq_m.f90:399-437);
+    # rho_and_grad / Ptotal_rho refuse cleanly.
     n = len(g.Q)
     dpsiN = 1.0 / (n - 1)
     psiN_grid = np.linspace(0.0, 1.0, n)
+    q_spline = splines.build_spline_1d(0.0, dpsiN, g.Q)
     tflux = np.concatenate(
         [[0.0], np.cumsum((g.Q[1:] + g.Q[:-1]) * 0.5 * dpsiN)])
-    rho = np.sqrt(tflux / tflux[-1])
-    q_spline = splines.build_spline_1d(0.0, dpsiN, g.Q)
-    rho_spline = splines.build_spline_1d(0.0, dpsiN, rho)
-    tflux_spline = splines.build_spline_1d(0.0, dpsiN, tflux)
+    if tflux[-1] > 0.0 and np.all(np.diff(tflux) > 0.0):
+        rho = np.sqrt(tflux / tflux[-1])
+        rho_spline = splines.build_spline_1d(0.0, dpsiN, rho)
+        tflux_spline = splines.build_spline_1d(0.0, dpsiN, tflux)
 
-    rho_f = lambda pn: np.asarray(
-        splines.eval_1d(rho_spline, jnp.asarray(pn)))
-    lo, hi = np.zeros(n), np.ones(n)
-    for _ in range(40):  # bisection to ~1e-12, exceeding the reference's 1e-5
-        mid = 0.5 * (lo + hi)
-        below = rho_f(mid) < psiN_grid  # target rho values = uniform grid
-        lo, hi = np.where(below, mid, lo), np.where(below, hi, mid)
-    psin_on_rho = 0.5 * (lo + hi)
-    psin_on_rho[0], psin_on_rho[-1] = 0.0, 1.0
-    psin_rho_spline = splines.build_spline_1d(0.0, dpsiN, psin_on_rho)
+        rho_f = lambda pn: np.asarray(
+            splines.eval_1d(rho_spline, jnp.asarray(pn)))
+        lo, hi = np.zeros(n), np.ones(n)
+        for _ in range(40):  # bisection ~1e-12, exceeding the reference's 1e-5
+            mid = 0.5 * (lo + hi)
+            below = rho_f(mid) < psiN_grid  # target rho values = uniform grid
+            lo, hi = np.where(below, mid, lo), np.where(below, hi, mid)
+        psin_on_rho = 0.5 * (lo + hi)
+        psin_on_rho[0], psin_on_rho[-1] = 0.0, 1.0
+        psin_rho_spline = splines.build_spline_1d(0.0, dpsiN, psin_on_rho)
+    else:
+        rho_spline = tflux_spline = psin_rho_spline = None
 
     return EqdskMagParams(psi_spline=psi_spline, rbphi_spline=rbphi_spline,
                           psib=jnp.asarray(psib), q_spline=q_spline,

@@ -92,17 +92,21 @@ def calculate_deposition_profile(cfg, params, results, which: str,
     return DepositionProfile(name=which, grid=edges, profile=total)
 
 
-def profile_names_for_geometry(equilib_model: str, cfg=None):
+def profile_names_for_geometry(equilib_model: str, cfg=None, params=None):
     """Registry (deposition_profiles_m.f90:38-45).  Ptotal_rho joins the
     axisym_toroid list only when the magnetics backend defines rho (EQDSK
-    spline) — the reference would fatal-error on other backends."""
+    spline with a usable Q profile) — the reference would fatal-error on
+    other backends (axisym_toroid_eq_m.f90:399-437)."""
     if equilib_model == "slab":
         return ("Ptotal_x",)
     if equilib_model == "solovev":
         return ("Ptotal_psi",)
     if equilib_model == "axisym_toroid":
         names = ["Ptotal_psi"]
-        if cfg is not None and "eqdsk" in cfg.eq_static.magnetics_model:
+        if (cfg is not None and "eqdsk" in cfg.eq_static.magnetics_model
+                and (params is None
+                     or getattr(params.eq.mag, "rho_spline", None)
+                     is not None)):
             names.append("Ptotal_rho")
         return tuple(names)
     if equilib_model == "multiple_mirror":

@@ -72,7 +72,8 @@ def post_process(cfg, params, results, rindex_vec0=None, pp_config=None):
         from rays_tpu.post import deposition
 
         n_bins = int(pp_config.get("n_bins", 50))
-        for name in deposition.profile_names_for_geometry(cfg.equilib_model, cfg):
+        for name in deposition.profile_names_for_geometry(
+                cfg.equilib_model, cfg, params):
             if name == "Ptotal_x":
                 xmin, xmax = float(params.eq.xmin), float(params.eq.xmax)
             else:

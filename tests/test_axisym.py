@@ -127,16 +127,50 @@ def test_axisym_ray_trace_runs(eqdsk_file):
     assert np.asarray(res.max_residuals).max() < 1e-4
 
 
-def test_rho_coordinate_splines(eqdsk_file):
-    """Q(psiN) / rho(psiN) / psiN(rho) coordinate maps (reference
-    eqdsk_magnetics_spline_interp_m.f90:183-199,325-390).
+@pytest.fixture(scope="module")
+def eqdsk_file_with_q(tmp_path_factory, eqdsk_file):
+    """The Solovev generator writes Q = 0 exactly (matching reference
+    solovev_2_eqdsk.f90:90), which carries no rho information.  Graft a
+    smooth physical safety-factor profile onto the same equilibrium so the
+    rho coordinate machinery has something real to interpolate."""
+    import dataclasses as _dc
 
-    For the Solovev-written EQDSK, q(psiN) is q0/sqrt(1-psiN*(1-(R0/Rb)^2))
-    -like but we only check the structural invariants: rho is monotonic,
-    rho(0)=0, rho(1)=1, psiN(rho(psiN)) is the identity, and gradrho is
-    parallel to gradpsiN."""
+    g = read_geqdsk(eqdsk_file)
+    psiN = np.linspace(0.0, 1.0, len(g.Q))
+    g2 = _dc.replace(g, Q=1.1 + 2.4 * psiN**2)
+    path = str(tmp_path_factory.mktemp("eqdsk_q") / "solovev_q.geqdsk")
+    write_geqdsk(path, g2)
+    return path
+
+
+def test_rho_unavailable_on_q_zero_files(eqdsk_file):
+    """Solovev-generated EQDSK files carry Q = 0: the rho machinery must
+    refuse cleanly (reference behavior: axisym_toroid_rho is unavailable on
+    such backends, axisym_toroid_eq_m.f90:399-437), and Ptotal_rho must not
+    be offered."""
+    from rays_tpu.models import axisym_toroid as at
+    from rays_tpu.post import deposition
+
+    cfg, params = schema.from_namelist(parse_namelist(
+        AXISYM_TMPL.format(MAG="eqdsk_magnetics_spline_interp", EQDSK=eqdsk_file)))
+    assert params.eq.mag.rho_spline is None
+    with pytest.raises(ValueError, match="rho coordinate maps unavailable"):
+        at.rho_of_psiN(params.eq, jnp.asarray(0.5))
+    with pytest.raises(ValueError):
+        at.rho_and_grad(cfg.eq_static, params.eq, jnp.asarray([1.4, 0.0, 0.1]))
+    names = deposition.profile_names_for_geometry("axisym_toroid", cfg, params)
+    assert "Ptotal_rho" not in names
+    assert "Ptotal_psi" in names
+
+
+def test_rho_coordinate_splines(eqdsk_file_with_q):
+    """Q(psiN) / rho(psiN) / psiN(rho) coordinate maps (reference
+    eqdsk_magnetics_spline_interp_m.f90:183-199,325-390) on an EQDSK with a
+    physical Q profile: rho is monotonic, rho(0)=0, rho(1)=1,
+    psiN(rho(psiN)) is the identity, and gradrho is parallel to gradpsiN."""
     from rays_tpu.models import axisym_toroid as at
 
+    eqdsk_file = eqdsk_file_with_q
     cfg, params = schema.from_namelist(parse_namelist(
         AXISYM_TMPL.format(MAG="eqdsk_magnetics_spline_interp", EQDSK=eqdsk_file)))
 
