@@ -199,7 +199,12 @@ def _axisym_toroid_from_namelist(nml, ns):
         fname = _get(gm, "eqdsk_file_name")
         if fname is None:
             raise ValueError("eqdsk magnetics needs eqdsk_file_name")
-        mag, geq = at.build_eqdsk_mag_params(fname)
+        if mag_model == "eqdsk_magnetics_lin_interp":
+            # true second path: bilinear + FD (the reference's accuracy A/B,
+            # eqdsk_magnetics_lin_interp_m.f90:2-6)
+            mag, geq = at.build_eqdsk_lin_mag_params(fname)
+        else:
+            mag, geq = at.build_eqdsk_mag_params(fname)
         box = (geq.rboxlft, geq.rboxlft + geq.rboxlen,
                geq.zoff - geq.zboxlen / 2.0, geq.zoff + geq.zboxlen / 2.0)
     else:

@@ -134,6 +134,10 @@ class Config:
     ray_deriv_name: str = "cold"
     nstep_max: int = 500
     max_substeps: int = 512        # adaptive stepper: bound on internal steps per ds
+    # rematerialize scan-step internals in reverse mode (jax.checkpoint):
+    # adjoints at production ray counts/step counts without storing every
+    # RK stage (SURVEY.md §5.7); no effect on forward-only runs
+    remat_steps: bool = True
 
     # ray initialization
     ray_init_model: str = "simple_slab"

@@ -65,6 +65,36 @@ class EqdskMagParams(NamedTuple):
     psin_rho_spline: Any = None  # Spline1D of psiN(rho)
 
 
+class EqdskLinMagParams(NamedTuple):
+    """Linear/finite-difference EQDSK magnetics — the reference's accuracy
+    A/B for the spline backend (eqdsk_magnetics_lin_interp_m.f90:2-6):
+    bilinear psi interpolation (eqdsk_utilities_m.f90:144-162) with central
+    finite differences at half-grid offsets dR = h_R/2, dZ = h_Z/2
+    (:190-306, offsets set at lin_interp init :125-126).
+
+    Two deliberate divergences from the reference, both documented upstream
+    inconsistencies:
+      * B sign convention follows the spline backend (br = psi_z/R,
+        bz = -psi_R/R, eqdsk_magnetics_spline_interp_m.f90:238-240); the
+        reference's lin backend flips both signs
+        (eqdsk_magnetics_lin_interp_m.f90:172-173) so its two backends
+        disagree on the same file.
+      * gradbtensor comes from autodiff of the FD-built B (the natural
+        3-point second-difference); the reference's GetPsiRR/ZZ divide the
+        +-2dR stencil by dR^2 instead of (2dR)^2 — a 4x overestimate
+        (eqdsk_utilities_m.f90:229-265).
+    """
+
+    r0: Any
+    dr: Any
+    z0: Any
+    dz: Any
+    psi: Any    # (nr, nz), shifted to 0 on axis
+    T: Any      # (nr,) R*Bphi on the R grid
+    psib: Any
+    rho_spline: Any = None  # rho machinery is spline-backend-only
+
+
 class AxisymToroidParams(NamedTuple):
     mag: Any                 # SolovevMagParams | EqdskMagParams
     plasma_psi_limit: Any
@@ -96,6 +126,29 @@ def _solovev_view(mag: SolovevMagParams):
     )
 
 
+def _bilinear(x0, dx, y0, dy, F, x, y):
+    """Bilinear interpolation on a uniform grid (eqdsk_utilities_m.f90:
+    144-162), cell-clamped for safe extrapolation outside the box."""
+    nx, ny = F.shape
+    tx = (x - x0) / dx
+    ty = (y - y0) / dy
+    i = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, nx - 2)
+    j = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, ny - 2)
+    u = tx - i.astype(tx.dtype)
+    v = ty - j.astype(ty.dtype)
+    return (F[i, j] * (1.0 - u) * (1.0 - v) + F[i + 1, j] * u * (1.0 - v)
+            + F[i, j + 1] * (1.0 - u) * v + F[i + 1, j + 1] * u * v)
+
+
+def _linear_1d(x0, dx, f, x):
+    """Linear interpolation (GetRBphi, eqdsk_utilities_m.f90:168-184)."""
+    n = f.shape[0]
+    t = (x - x0) / dx
+    i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n - 2)
+    u = t - i.astype(t.dtype)
+    return f[i] * (1.0 - u) + f[i + 1] * u
+
+
 def magnetics(static: AxisymToroidStatic, p: AxisymToroidParams, rvec):
     """(bvec_xyz, psi, psiN) at rvec."""
     x, y, z = rvec[0], rvec[1], rvec[2]
@@ -105,17 +158,27 @@ def magnetics(static: AxisymToroidStatic, p: AxisymToroidParams, rvec):
         sv = _solovev_view(p.mag)
         br, bz, bphi = solovev_mod.b_cylindrical(sv, rvec)
         psi, _, psiN, _ = solovev_mod.psi(sv, rvec)
-    elif static.magnetics_model in ("eqdsk_magnetics_spline_interp",
-                                    "eqdsk_magnetics_lin_interp"):
-        # lin_interp is served by the same spline backend (the reference
-        # keeps the linear version only as an accuracy A/B,
-        # eqdsk_magnetics_lin_interp_m.f90:2-6)
+    elif static.magnetics_model == "eqdsk_magnetics_spline_interp":
         psi, psi_r, psi_z = splines.eval_2d_fp(p.mag.psi_spline, r, z)
         rbphi = splines.eval_1d(p.mag.rbphi_spline, r)
         br = psi_z / r
         bz = -psi_r / r
         bphi = rbphi / r
         psiN = psi / p.mag.psib
+    elif static.magnetics_model == "eqdsk_magnetics_lin_interp":
+        # bilinear + central FD: the independent accuracy A/B
+        # (see EqdskLinMagParams docstring)
+        m = p.mag
+        dR, dZ = m.dr / 2.0, m.dz / 2.0
+        getpsi = lambda rr, zz: _bilinear(m.r0, m.dr, m.z0, m.dz, m.psi, rr, zz)
+        psi = getpsi(r, z)
+        psi_r = (getpsi(r + dR, z) - getpsi(r - dR, z)) / (2.0 * dR)
+        psi_z = (getpsi(r, z + dZ) - getpsi(r, z - dZ)) / (2.0 * dZ)
+        rbphi = _linear_1d(m.r0, m.dr, m.T, r)
+        br = psi_z / r
+        bz = -psi_r / r
+        bphi = rbphi / r
+        psiN = psi / m.psib
     else:
         raise ValueError(f"unknown magnetics model {static.magnetics_model}")
 
@@ -259,6 +322,23 @@ def build_spline_knots(values):
     values = values / values[0]
     sp = splines.build_spline_1d(0.0, 1.0 / (len(values) - 1), values)
     return jnp.stack([sp.f, sp.m])
+
+
+def build_eqdsk_lin_mag_params(path) -> tuple:
+    """Load a G-EQDSK file into the bilinear/FD magnetics params (the
+    reference's second, lower-order path — eqdsk_magnetics_lin_interp_m
+    .f90:101-133).  Returns (EqdskLinMagParams, geqdsk)."""
+    from rays_tpu.utils import eqdsk_io
+
+    g = eqdsk_io.read_geqdsk(path)
+    rg, zg = g.r_grid, g.z_grid
+    return EqdskLinMagParams(
+        r0=jnp.asarray(rg[0]), dr=jnp.asarray(rg[1] - rg[0]),
+        z0=jnp.asarray(zg[0]), dz=jnp.asarray(zg[1] - zg[0]),
+        psi=jnp.asarray(g.psi - g.psiaxis),
+        T=jnp.asarray(g.T),
+        psib=jnp.asarray(g.psibound - g.psiaxis),
+    ), g
 
 
 def build_eqdsk_mag_params(path) -> tuple:

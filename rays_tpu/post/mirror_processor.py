@@ -1,9 +1,21 @@
 """Multiple-mirror post-processor.
 
-Re-design of reference RAYS_project/post_process_lib/mirror_processor_m.f90
-(895 LoC): equilibrium X-Z grid data to netCDF, AphiN radial profiles,
-graphics description for the mirror plotter, and the O-X conversion
-analysis hookup (the reference's do_OX_conv_analysis option).
+Re-design of reference RAYS_project/post_process_lib/mirror_processor_m.f90:
+
+  * ``eq_contours.<label>.nc`` — AphiN / gamma / omega_pN on the (X, Z)
+    plane in the reference's exact schema (write_eq_contour_data_NC,
+    mirror_processor_m.f90:469-618), consumed unchanged by
+    graphics_RAYS/plot_RAYS_mirror.py:300-349;
+  * ``eq_radial_profiles.<label>`` XY-curve netCDF — equilibrium profiles
+    on a uniform AphiN grid at z = z_reference, with the R(AphiN) inversion
+    by bisection (write_eq_radial_profile_data_NC, :623-834);
+  * graphics description file (:184-231);
+  * per-ray detailed diagnostics (:235-465) via rays_tpu.post.ray_diags;
+  * O-X conversion analysis hookup (the do_OX_conv_analysis option).
+
+TPU shape: the reference's scalar (i, j) grid loops are one jitted vmap
+over the flattened grid; the bisection inversion is the batched bisector
+from ops/bisect.
 """
 
 from __future__ import annotations
@@ -13,70 +25,119 @@ import jax.numpy as jnp
 import numpy as np
 
 from rays_tpu.post.xy_curves import XYCurve, write_xy_curves_nc
-from rays_tpu.wave import dispersion
 
 
-def write_eq_xz_grids(cfg, params, n_x=51, n_z=101, out_prefix=None):
-    """AphiN/|B|/ne on an (x, z) plane (y = 0) -> netCDF
-    (mirror_processor_m.f90 eq XZ grid option)."""
+def write_eq_contours(cfg, params, n_x=51, n_z=101, path=None):
+    """AphiN + per-species gamma / normalized plasma frequency on the
+    (X, Z) plane (y = 0) -> eq_contours.<label>.nc, reference schema
+    (mirror_processor_m.f90:527-618).  Array layouts match what the
+    Fortran file looks like from C/python: AphiN (n_X, n_Z),
+    gamma_array / omega_pN_array (nspec+1, n_X, n_Z)."""
     from scipy.io import netcdf_file
 
     from rays_tpu.models import base, multiple_mirror as mm
 
     rmax = float(params.eq.box_rmax)
     zmin, zmax = float(params.eq.box_zmin), float(params.eq.box_zmax)
-    xs = np.linspace(-rmax, rmax, n_x)
+    xmin, xmax = -rmax, rmax  # box_xmin = -box_rmax (:564)
+    xs = np.linspace(xmin, xmax, n_x)
     zs = np.linspace(zmin, zmax, n_z)
 
     def one(x, z):
         rvec = jnp.stack([x, jnp.zeros_like(x), z])
         _, _, aphin = mm.magnetics(params.eq, rvec)
-        alpha, gamma, bunit, ns, ts, err = base.eq_point_light(cfg, params, rvec)
-        return aphin, ns[0] * params.species.n_ref, gamma[0]
+        alpha, gamma, _, _, _, _ = base.eq_point_light(cfg, params, rvec)
+        # omega_pN = omega_p/omega = sqrt(alpha) (:595)
+        return aphin, jnp.abs(gamma), jnp.sqrt(jnp.maximum(alpha, 0.0))
 
     X, Z = np.meshgrid(xs, zs, indexing="ij")
-    aphin, ne, ge = (np.asarray(o).reshape(n_x, n_z) for o in jax.jit(
-        jax.vmap(one))(jnp.asarray(X.ravel()), jnp.asarray(Z.ravel())))
+    aphin, gam, wpn = jax.jit(jax.vmap(one))(
+        jnp.asarray(X.ravel()), jnp.asarray(Z.ravel()))
+    S = cfg.ns
+    aphin = np.asarray(aphin).reshape(n_x, n_z)
+    gam = np.moveaxis(np.asarray(gam).reshape(n_x, n_z, S), -1, 0)
+    wpn = np.moveaxis(np.asarray(wpn).reshape(n_x, n_z, S), -1, 0)
 
-    fname = (out_prefix or f"eq_XZ_grids.{cfg.run_label}") + ".nc"
+    fname = path or f"eq_contours.{cfg.run_label}.nc"
     f = netcdf_file(fname, "w")
     try:
         f.createDimension("n_X", n_x)
         f.createDimension("n_Z", n_z)
-        v = f.createVariable("X_grid", np.float64, ("n_X",)); v[:] = xs
-        v = f.createVariable("Z_grid", np.float64, ("n_Z",)); v[:] = zs
-        for name, data in [("AphiN", aphin), ("ne", ne), ("gamma_e", ge)]:
-            v = f.createVariable(name, np.float64, ("n_X", "n_Z"))
-            v[:] = data
+        f.createDimension("nspec_p1", S)
+        f.createDimension("d12", 12)
+        for name, val in (("box_xmin", xmin), ("box_xmax", xmax),
+                          ("box_zmin", zmin), ("box_zmax", zmax)):
+            v = f.createVariable(name, np.float64, ())
+            v.data[()] = np.float64(val)
+        v = f.createVariable("X", np.float64, ("n_X",)); v[:] = xs
+        v = f.createVariable("Z", np.float64, ("n_Z",)); v[:] = zs
+        v = f.createVariable("AphiN", np.float64, ("n_X", "n_Z"))
+        v[:] = aphin
+        v = f.createVariable("omega_pN_array", np.float64,
+                             ("nspec_p1", "n_X", "n_Z"))
+        v[:] = wpn
+        v = f.createVariable("gamma_array", np.float64,
+                             ("nspec_p1", "n_X", "n_Z"))
+        v[:] = gam
+        v = f.createVariable("spec_name", "c", ("nspec_p1", "d12"))
+        names = np.zeros((S, 12), dtype="S1")
+        for i in range(S):
+            nm = ("electron" if i == 0 else f"ion_{i}").ljust(12)[:12]
+            names[i] = np.frombuffer(nm.encode(), dtype="S1")
+        v[:] = names
     finally:
         f.close()
     return fname
 
 
-def write_aphin_profiles(cfg, params, z_reference, n_points=51, out_prefix=None):
-    """Radial profiles vs AphiN at the reference z plane
-    (mirror_processor_m n_AphiN profiles)."""
+def write_radial_profiles(cfg, params, z_reference, n_points=51,
+                          out_prefix=None):
+    """Equilibrium profiles on a UNIFORM AphiN grid at z = z_reference,
+    R(AphiN) inverted by bisection as in the reference
+    (mirror_processor_m.f90:693-700), plus the same profiles vs R."""
     from rays_tpu.models import base, multiple_mirror as mm
+    from rays_tpu.ops import bisect as bisect_mod
+    from rays_tpu import constants
 
     rmax = float(params.eq.box_rmax)
-    rs = np.linspace(0.0, rmax, n_points)
+    limit = float(params.eq.plasma_aphin_limit)
+    zr = float(z_reference)
+    aphin_grid = jnp.linspace(0.0, limit, n_points)
 
-    def one(r):
-        rvec = jnp.stack([r, jnp.zeros_like(r), jnp.asarray(float(z_reference))])
-        _, _, aphin = mm.magnetics(params.eq, rvec)
-        alpha, gamma, bunit, ns, ts, err = base.eq_point_light(cfg, params, rvec)
-        return aphin, ns[0] * params.species.n_ref, ts[0], alpha[0], gamma[0]
+    def aphin_of_r(r):
+        rvec = jnp.stack([r, jnp.zeros_like(r), jnp.asarray(zr)])
+        return mm.magnetics(params.eq, rvec)[2]
 
-    aphin, ne, te, ae, ge = (np.asarray(o) for o in
-                             jax.jit(jax.vmap(one))(jnp.asarray(rs)))
+    @jax.jit
+    def invert_and_profile(targets):
+        # R(AphiN) by bisection on [0, box_rmax] (reference: [0, 1.1 r_LUFS])
+        rs = jax.vmap(lambda t: bisect_mod.solve_bisection(
+            aphin_of_r, t, 0.0, rmax)[0])(targets)
+
+        def prof(r):
+            rvec = jnp.stack([r, jnp.zeros_like(r), jnp.asarray(zr)])
+            alpha, gamma, _, ns, ts, _ = base.eq_point_light(cfg, params, rvec)
+            ti = ts[-1] if cfg.ns > 1 else ts[0] * 0.0
+            return (ns[0] * params.species.n_ref,
+                    ts[0] / constants.E_CHARGE, ti / constants.E_CHARGE)
+
+        ne, te_ev, ti_ev = jax.vmap(prof)(rs)
+        return rs, ne, te_ev, ti_ev
+
+    rs, ne, te, ti = (np.asarray(o) for o in
+                      invert_and_profile(aphin_grid))
+    ap = np.asarray(aphin_grid)
     curves = [
-        XYCurve("r", "AphiN", rs, aphin),
-        XYCurve("AphiN", "ne", aphin, ne),
-        XYCurve("AphiN", "Te", aphin, te),
-        XYCurve("AphiN", "alpha_e", aphin, ae),
-        XYCurve("AphiN", "gamma_e", aphin, ge),
+        XYCurve("AphiN", "R", ap, rs),
+        XYCurve("AphiN", "ne", ap, ne),
+        XYCurve("AphiN", "Te_ev", ap, te),
+        XYCurve("AphiN", "Ti_ev", ap, ti),
+        XYCurve("R", "AphiN", rs, ap),
+        XYCurve("R", "ne", rs, ne),
+        XYCurve("R", "Te_ev", rs, te),
+        XYCurve("R", "Ti_ev", rs, ti),
     ]
-    prefix = out_prefix or f"eq_AphiN_profiles.{cfg.run_label}"
+    prefix = out_prefix or f"eq_radial_profiles.{cfg.run_label}"
     return write_xy_curves_nc(curves, prefix)
 
 
@@ -84,12 +145,17 @@ def write_graphics_description(cfg, params,
                                path="graphics_description_mirror.dat",
                                num_plot_k_vectors=0, scale_k_vec="True",
                                k_vec_base_length=0.02, set_xy_lim="True"):
+    """mirror_processor_m.f90:184-231 (keys read by plot_RAYS_mirror.py)."""
+    rmax = float(params.eq.box_rmax)
     with open(path, "w") as f:
         f.write(f" run_description = {cfg.run_description}\n")
         f.write(f" run_label = {cfg.run_label}\n")
-        f.write(f" box_rmax = {float(params.eq.box_rmax)}\n")
-        f.write(f" box_zmin = {float(params.eq.box_zmin)}\n")
-        f.write(f" box_zmax = {float(params.eq.box_zmax)}\n")
+        f.write(f" xmin = {-rmax}\n")
+        f.write(f" xmax = {rmax}\n")
+        f.write(f" ymin = {-rmax}\n")
+        f.write(f" ymax = {rmax}\n")
+        f.write(f" zmin = {float(params.eq.box_zmin)}\n")
+        f.write(f" zmax = {float(params.eq.box_zmax)}\n")
         f.write(f" num_plot_k_vectors = {num_plot_k_vectors}\n")
         f.write(f" scale_k_vec = {scale_k_vec}\n")
         f.write(f" k_vec_base_length = {k_vec_base_length}\n")
@@ -97,13 +163,19 @@ def write_graphics_description(cfg, params,
     return path
 
 
-def process(cfg, params, results, z_reference=None, do_ox_analysis=True):
+def process(cfg, params, results, z_reference=None, do_ox_analysis=True,
+            calculate_ray_diag=False):
     out = {}
-    out["eq_XZ_grids"] = write_eq_xz_grids(cfg, params)
+    out["eq_contours"] = write_eq_contours(cfg, params)
     zr = z_reference if z_reference is not None else \
         0.5 * (float(params.eq.box_zmin) + float(params.eq.box_zmax))
-    out["aphin_profiles"] = write_aphin_profiles(cfg, params, zr)
+    out["radial_profiles"] = write_radial_profiles(cfg, params, zr)
     out["graphics_description"] = write_graphics_description(cfg, params)
+    if calculate_ray_diag:
+        from rays_tpu.post import ray_diags
+
+        out["ray_diags_nc"] = ray_diags.write_ray_diagnostics_nc(
+            cfg, params, results)
     if do_ox_analysis:
         from rays_tpu.post import ox_conversion
 

@@ -67,6 +67,14 @@ def post_process(cfg, params, results, rindex_vec0=None, pp_config=None):
     else:
         raise ValueError(f"post_process: unknown processor {processor}")
 
+    # per-ray detailed diagnostics netCDF (the reference's
+    # calculate_ray_diag flag, slab_processor_m.f90:109 et al.)
+    if pp_config.get("calculate_ray_diag"):
+        from rays_tpu.post import ray_diags
+
+        out["ray_diags_nc"] = ray_diags.write_ray_diagnostics_nc(
+            cfg, params, results)
+
     # deposition profiles when a damping model ran
     if cfg.damping_slot >= 0:
         from rays_tpu.post import deposition

@@ -55,15 +55,78 @@ def setup(path):
     return cfg, params, v0, status0, pwr
 
 
-def run(path):
+def make_diagnostics(path):
+    """Run log from the input file's diagnostics_list (reference
+    diagnostics_m.f90:48-103): opens the message file, echoes every parsed
+    namelist group for config provenance, returns the Diagnostics handle.
+    Call ``finalize()`` on it to produce log.RAYS.<run_label>
+    (finalize_run.f90:50)."""
+    from rays_tpu.config.namelist import read_namelist_file
+    from rays_tpu.utils.diagnostics import Diagnostics
+
+    nml = read_namelist_file(path)
+    d = nml.get("diagnostics_list", {})
+
+    def _get(grp, key, default):
+        for k, v in grp.items():
+            if k.lower() == key:
+                return v
+        return default
+
+    diag = Diagnostics(
+        run_label=str(_get(d, "run_label", "run")),
+        verbosity=int(_get(d, "verbosity", 0)),
+        messages_to_stdout=bool(_get(d, "messages_to_stdout", False)),
+    )
+    diag.echo_namelists(nml)
+    return diag
+
+
+def ray_trace_times(results, wall):
+    """Per-ray trace-time attribution (reference ray_trace_time(iray),
+    ray_tracing.f90:74-75,254).  Rays run in lockstep on the TPU, so the
+    honest per-ray analog is the batch wall time attributed by each ray's
+    share of live steps."""
+    import numpy as np
+
+    npts = np.asarray(results.npoints, np.float64)
+    total = max(npts.sum(), 1.0)
+    return wall * npts / total
+
+
+def run(path, diag=None):
     """Full run from a rays.in-style file.  Returns (cfg, RayResults,
     wall_time_seconds)."""
     cfg, params, v0, status0, pwr = setup(path)
+    if diag is not None:
+        diag.message("rays_tpu run", cfg.run_label, threshold=0)
+        diag.message("number of rays", int(v0.shape[0]), threshold=0)
+        diag.message("nv", cfg.nv, threshold=0)
     tracer = jax.jit(lambda p, v, st, w: trace_mod.trace_batch(cfg, p, v, st, w))
     t0 = time.perf_counter()
     results = tracer(params, v0, status0, pwr)
     jax.block_until_ready(results)
     wall = time.perf_counter() - t0
+    if diag is not None:
+        import numpy as np
+
+        from rays_tpu.tracing.stop import flag_string
+
+        diag.message("Wall time ray tracing (s)", round(wall, 4), threshold=0)
+        npts = np.asarray(results.npoints)
+        flags = np.asarray(results.stop_flag)
+        times = ray_trace_times(results, wall)
+        for i in range(npts.shape[0]):
+            diag.message(
+                f"ray {i + 1}: npoints", int(npts[i]), threshold=1)
+            diag.message(
+                f"ray {i + 1}: stop flag", flag_string(flags[i]), threshold=1)
+            diag.message(
+                f"ray {i + 1}: trace time (s)", round(float(times[i]), 6),
+                threshold=1)
+        diag.message("max dispersion residual",
+                     float(np.asarray(results.max_residuals).max()),
+                     threshold=0)
     return cfg, results, wall
 
 
@@ -74,9 +137,12 @@ def main(argv=None):
     ap.add_argument("input", help="namelist input file (rays.in format)")
     ap.add_argument("--netcdf", action="store_true",
                     help="write run_results.<run_label>.nc")
+    ap.add_argument("--no-log", action="store_true",
+                    help="skip writing log.RAYS.<run_label>")
     args = ap.parse_args(argv)
 
-    cfg, results, wall = run(args.input)
+    diag = None if args.no_log else make_diagnostics(args.input)
+    cfg, results, wall = run(args.input, diag=diag)
     import numpy as np
 
     print(f"run_label: {cfg.run_label}")
@@ -86,8 +152,13 @@ def main(argv=None):
     if args.netcdf:
         from rays_tpu.results.netcdf import write_results_nc
 
-        fn = write_results_nc(cfg, results, total_trace_time=wall)
+        fn = write_results_nc(cfg, results, total_trace_time=wall,
+                              ray_trace_time=ray_trace_times(results, wall))
         print(f"wrote {fn}")
+        if diag is not None:
+            diag.message("wrote results", fn, threshold=0)
+    if diag is not None:
+        print(f"wrote {diag.finalize()}")
 
 
 if __name__ == "__main__":

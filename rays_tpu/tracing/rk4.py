@@ -21,8 +21,11 @@ def _first_nonzero(*codes):
     return out
 
 
-def rk4_step(cfg, params, s, v):
-    """One RK4 step of size params.ode.ds.  Returns (v_new, status)."""
+def rk4_step(cfg, params, s, v, h=None):
+    """One RK4 step of size params.ode.ds.  Returns (v_new, status, h) —
+    the stepper-state slot ``h`` is unused (RK4 keeps no state between
+    outer steps, RK4_ode_m.f90:50-55) and passed through for interface
+    uniformity with the adaptive stepper."""
     ds = params.ode.ds
     f = lambda ss, vv: rhs_mod.eqn_ray(cfg, params, ss, vv)
     f1, st1 = f(s, v)
@@ -31,4 +34,4 @@ def rk4_step(cfg, params, s, v):
     f4, st4 = f(s + ds, v + ds * f3)
     status = _first_nonzero(st1, st2, st3, st4)
     v_new = v + ds * (f1 + 2.0 * f2 + 2.0 * f3 + f4) / 6.0
-    return v_new, status
+    return v_new, status, h

@@ -68,8 +68,15 @@ def _dopri_step(f, t, v, h):
     return v5, err, status
 
 
-def rk45_step(cfg, params, s, v):
-    """Advance one outer step ds adaptively.  Returns (v_new, status)."""
+def rk45_step(cfg, params, s, v, h0):
+    """Advance one outer step ds adaptively.  Returns
+    (v_new, status, h_next).
+
+    ``h0`` is the converged step size carried over from the previous outer
+    step (the SG suite likewise keeps its step/order state across outer
+    steps, SG_ode_m.f90:73-85 resets only at ray start) — re-seeding h = ds
+    every outer step would waste rejected substeps on stiff stretches.
+    """
     dt = v.dtype
     ds = params.ode.ds
     sout = s + ds
@@ -107,11 +114,12 @@ def rk45_step(cfg, params, s, v):
         )
         return t_new, v_new, h_new, status, n_sub + 1
 
-    init = (s, v, ds, jnp.int32(StopCode.OK), jnp.int32(0))
-    t_f, v_f, _, status, _ = jax.lax.while_loop(cond, body, init)
+    h_start = jnp.clip(h0, h_min, jnp.abs(ds))
+    init = (s, v, h_start, jnp.int32(StopCode.OK), jnp.int32(0))
+    t_f, v_f, h_f, status, _ = jax.lax.while_loop(cond, body, init)
     # substep budget exhausted without reaching sout -> tolerance failure
     status = jnp.where(
         (status == 0) & (sout - t_f > done_tol),
         jnp.int32(StopCode.ODE_TOTAL_ERROR), status,
     )
-    return v_f, status
+    return v_f, status, h_f

@@ -62,7 +62,8 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
     ds, s_max = params.ode.ds, params.ode.s_max
 
     check_v = jax.vmap(lambda v: rhs_mod.check_save(cfg, params, v))
-    step_v = jax.vmap(lambda s, v: step_fn(cfg, params, s, v), in_axes=(None, 0))
+    step_v = jax.vmap(lambda s, v, h: step_fn(cfg, params, s, v, h),
+                      in_axes=(None, 0, 0))
 
     # initial validity check (ray_tracing.f90:100-112); the initial residual
     # is recorded as 0 ("assume initial k solves the dispersion relation",
@@ -71,7 +72,7 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
     status = jnp.where(status0 != 0, status0, st0)
 
     def body(carry, k):
-        v, status, nstep, end_res, max_res = carry
+        v, hstate, status, nstep, end_res, max_res = carry
         s = k.astype(v.dtype) * ds
         sout = (k + 1).astype(v.dtype) * ds
 
@@ -81,7 +82,7 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
         )
         active = status == 0
 
-        v_new, solver_st = step_v(s, v)
+        v_new, solver_st, h_new = step_v(s, v, hstate)
         status = jnp.where(active & (solver_st != 0), solver_st, status)
         accepted = active & (solver_st == 0)
 
@@ -90,6 +91,8 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
         ok = accepted & (check_st == 0)
 
         v = jnp.where(ok[:, None], v_new, v)
+        # adaptive stepper state (converged h) persists across outer steps
+        hstate = jnp.where(ok, h_new, hstate)
         nstep = nstep + ok.astype(jnp.int32)
         end_res = jnp.where(ok, resid, end_res)
         max_res = jnp.where(ok, jnp.maximum(max_res, resid), max_res)
@@ -98,12 +101,19 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
             out = (jnp.where(ok[:, None], v, 0.0), jnp.where(ok, resid, 0.0), ok)
         else:
             out = None  # summaries live in the carry: no per-step HBM writes
-        return (v, status, nstep, end_res, max_res), out
+        return (v, hstate, status, nstep, end_res, max_res), out
 
     B = v0.shape[0]
     zero = jnp.zeros((B,), v0.dtype)
-    init = (v0, status, jnp.zeros((B,), jnp.int32), zero, zero)
-    (v_f, status_f, nstep_f, end_res, max_res), outs = jax.lax.scan(
+    h0 = jnp.full((B,), ds, v0.dtype)
+    init = (v0, h0, status, jnp.zeros((B,), jnp.int32), zero, zero)
+    # rematerialize per-step internals on the backward pass: reverse-mode
+    # through the scan then stores only the (small) carry per step instead
+    # of every RK stage/equilibrium intermediate — the memory strategy of
+    # SURVEY.md §5.7 that makes production-scale adjoints fit in HBM.
+    if getattr(cfg, "remat_steps", True):
+        body = jax.checkpoint(body, prevent_cse=False)
+    (v_f, _, status_f, nstep_f, end_res, max_res), outs = jax.lax.scan(
         body, init, jnp.arange(cfg.nstep_max)
     )
 

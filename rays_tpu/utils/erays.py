@@ -18,21 +18,26 @@ import sys
 REFERENCE_GRAPHICS = "/root/reference/graphics_RAYS"
 
 
-def run_pipeline(rays_in, post=True, netcdf=True, plots=False):
+def run_pipeline(rays_in, post=True, netcdf=True, plots=False, log=True):
     from rays_tpu import run as runner
     from rays_tpu.post.process import post_process
     from rays_tpu.results.netcdf import write_results_nc
 
-    cfg, results, wall = runner.run(rays_in)
+    diag = runner.make_diagnostics(rays_in) if log else None
+    cfg, results, wall = runner.run(rays_in, diag=diag)
     out = {"cfg": cfg, "results": results, "wall": wall}
     if netcdf:
-        out["nc"] = write_results_nc(cfg, results, total_trace_time=wall)
+        out["nc"] = write_results_nc(
+            cfg, results, total_trace_time=wall,
+            ray_trace_time=runner.ray_trace_times(results, wall))
     if post:
         cfg2, params = __import__(
             "rays_tpu.config.schema", fromlist=["from_file"]).from_file(rays_in)
         out["post"] = post_process(cfg, params, results)
     if plots:
         out["plot"] = plot_trajectories(cfg, results)
+    if diag is not None:
+        out["log"] = diag.finalize()
     return out
 
 

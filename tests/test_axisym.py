@@ -127,6 +127,45 @@ def test_axisym_ray_trace_runs(eqdsk_file):
     assert np.asarray(res.max_residuals).max() < 1e-4
 
 
+def test_lin_interp_accuracy_ab(eqdsk_file):
+    """The linear FD backend is a true second path: its B field must agree
+    with the analytic Solovev field at bilinear+FD accuracy — strictly
+    worse than the spline backend but convergent (the reference keeps the
+    lin backend exactly for this A/B, eqdsk_magnetics_lin_interp_m.f90:2-6).
+    """
+    cfg_a, p_a = schema.from_namelist(parse_namelist(
+        AXISYM_TMPL.format(MAG="solovev_magnetics", EQDSK=eqdsk_file)))
+    cfg_s, p_s = schema.from_namelist(parse_namelist(
+        AXISYM_TMPL.format(MAG="eqdsk_magnetics_spline_interp", EQDSK=eqdsk_file)))
+    cfg_l, p_l = schema.from_namelist(parse_namelist(
+        AXISYM_TMPL.format(MAG="eqdsk_magnetics_lin_interp", EQDSK=eqdsk_file)))
+    from rays_tpu.models import axisym_toroid as at
+
+    pts = jnp.asarray([
+        [1.45, 0.0, 0.1], [1.2, 0.3, -0.2], [0.9, 0.2, 0.4], [1.5, 0.0, 0.0],
+    ])
+
+    @jax.jit
+    def eval_all(p_a, p_s, p_l, pts):
+        def one(x):
+            ba = base.equilibrium(cfg_a, p_a, x).bvec
+            bs = base.equilibrium(cfg_s, p_s, x).bvec
+            bl = base.equilibrium(cfg_l, p_l, x).bvec
+            return ba, bs, bl
+        return jax.vmap(one)(pts)
+
+    ba, bs, bl = (np.asarray(o) for o in eval_all(p_a, p_s, p_l, pts))
+    err_spline = np.abs(bs - ba).max()
+    err_lin = np.abs(bl - ba).max()
+    # bilinear first derivatives: O(h) at generic points, h = 1.35/128
+    assert err_lin < 0.05
+    # the spline is the higher-order path: the A/B must show it
+    assert err_spline < err_lin
+    # and the lin backend refuses the rho machinery, as in the reference
+    with pytest.raises(ValueError):
+        at.rho_of_psiN(p_l.eq, jnp.asarray(0.5))
+
+
 @pytest.fixture(scope="module")
 def eqdsk_file_with_q(tmp_path_factory, eqdsk_file):
     """The Solovev generator writes Q = 0 exactly (matching reference

@@ -255,6 +255,22 @@ def test_parity_mpex_mirror():
     _assert_parity(cfg, params, res, oc, rtol=1e-6)
 
 
+def test_ray_power_weights_pinned():
+    """Ray power weights are 1/nray, summing to exactly 1, in EVERY init
+    model — the deliberate, documented divergence from the reference, which
+    divides the slab weights by nray twice (simple_slab_ray_init_m.f90:
+    179-182, weights sum to 1/nray) while the solovev init divides once
+    (solovev_ray_init_nphi_ntheta_m.f90:206).  Deposition profiles
+    therefore normalize to total launched power = 1 for all geometries."""
+    for text in (examples.SLAB_ECH_90GHZ, examples.SLAB_ECH_DAMPED,
+                 examples.SOLOVEV_ECH_90GHZ):
+        cfg, params, v0, st, pwr = examples.setup_example(text)
+        w = np.asarray(pwr, float)
+        n = w.shape[0]
+        np.testing.assert_allclose(w, np.full(n, 1.0 / n), rtol=1e-14)
+        assert w.sum() == pytest.approx(1.0, rel=1e-13)
+
+
 # ---------------------------------------------------------------------------
 # analytic anchors
 # ---------------------------------------------------------------------------
