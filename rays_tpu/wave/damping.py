@@ -60,8 +60,13 @@ def damp_fund_ech(cfg, params, eq, v_xk, vg):
     safe_k3 = jnp.where(k3 == 0.0, jnp.asarray(1.0, dt), k3)
     xi = (omgrf + eq.omgc[0]) / (safe_k3 * vth)
 
-    # Z function as a real pair (complex unsupported on TPU)
-    zr, zi = zfun.zfun0_real_parts(xi, safe_k3)
+    # Z function as a real pair (complex unsupported on TPU).  |xi| > 5 is
+    # masked to no-damping below; clamp the argument BEFORE the evaluation
+    # (double-where discipline) so reverse-mode AD through the masked-out
+    # branch never sees the inf/underflow intermediates a huge xi produces
+    # (this is what NaN'd d(loss)/d(m_e) in adjoint runs).
+    xi_z = jnp.clip(xi, -6.0, 6.0)
+    zr, zi = zfun.zfun0_real_parts(xi_z, safe_k3)
     zmag2 = jnp.maximum(zr**2 + zi**2, constants.SAFE_TINY)
 
     p = eq.alpha[0]
@@ -79,7 +84,7 @@ def damp_fund_ech(cfg, params, eq, v_xk, vg):
     # Im(xi + 1/Z) = -Im(Z)/|Z|^2  (damp_fund_ECH.f90:88-90 in real form)
     f_real = (-(1.0 - b1) * r3 * vt
               * (lam1 + lam2 + r1s / 2.0 / jnp.where(r3 == 0, 1.0, r3)
-                 / betae * vt * xi * lam5))
+                 / betae * vt * xi_z * lam5))
     d_warm_im = f_real * (-zi / zmag2)
 
     # cold-plasma directional derivative of D along vg (damp_fund_ECH.f90:92-109)
