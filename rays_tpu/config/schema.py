@@ -418,6 +418,8 @@ def from_namelist(nml: dict, input_dir="."):
         multi_spec_damping=bool(_get(damp, "multi_spec_damping", False)),
         integrate_eq_gradients=bool(_get(diag, "integrate_eq_gradients", False)),
         verbosity=int(_get(diag, "verbosity", 0)),
+        write_formatted_ray_files=bool(
+            _get(diag, "write_formatted_ray_files", False)),
         ode_solver_name=_get(ode, "ode_solver_name", "RK4_ODE"),
         # 'numerical' (the reference's FD A/B) maps to the jax.grad path
         ray_deriv_name={"cold": "cold", "numerical": "autodiff",

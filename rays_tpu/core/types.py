@@ -144,8 +144,17 @@ class Config:
     rayinit_static: Any = None     # model-specific frozen dataclass
     nray_max: int = 10000
 
+    # fused single-kernel tracer (tracing/fused_slab.py): 'auto' rides it
+    # whenever the config + f32 batch qualify, 'off' forces the XLA scan,
+    # 'on' asserts support.  Driver-level dispatch (trace_rays) only — the
+    # kernel bakes parameters in as compile-time constants.
+    fused_kernel: str = "auto"
+
     # output
     save_trajectory: bool = True
+    # per-step formatted ray files ray_out/<ray_list>.<label> for crash
+    # forensics (reference diagnostics_m.f90:85-91, check_save.f90:152-154)
+    write_formatted_ray_files: bool = False
 
     @property
     def ns(self) -> int:

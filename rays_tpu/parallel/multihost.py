@@ -50,9 +50,11 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     return jax.process_index(), jax.process_count()
 
 
-def global_ray_mesh() -> Mesh:
-    """1-D 'rays' mesh over every device of every process."""
-    return Mesh(np.asarray(jax.devices()), ("rays",))
+def global_ray_mesh(devices=None) -> Mesh:
+    """1-D 'rays' mesh over every device of every process (or an explicit
+    device subset, e.g. for dry runs on a virtual CPU mesh)."""
+    return Mesh(np.asarray(devices if devices is not None else jax.devices()),
+                ("rays",))
 
 
 def distribute_rays(mesh: Mesh, v0_local, status0_local, pwr_local):

@@ -141,25 +141,50 @@ def write_radial_profiles(cfg, params, z_reference, n_points=51,
     return write_xy_curves_nc(curves, prefix)
 
 
+def r_omode_cutoff(cfg, params, z_reference):
+    """Radius of the O-mode cutoff alpha_e = 1 at z = z_reference by
+    bisection in r; 0 when no cutoff exists (mirror_processor_m.f90:
+    219-222; the reference brackets [0, r_LUFS], we bracket the full box —
+    the scrape-off density keeps alpha_e < 1 outside the LUFS, so the
+    bracketing test coincides)."""
+    from rays_tpu.ops import bisect
+    from rays_tpu.wave import dispersion
+
+    r_hi = float(params.eq.box_rmax)
+
+    def f(r):
+        rvec = jnp.stack([r, jnp.zeros_like(r), jnp.asarray(z_reference)])
+        alpha, _, _, _ = dispersion.alpha_gamma(
+            cfg, params, rvec, params.rf.omgrf)
+        return alpha[0]
+
+    r, ok = jax.jit(
+        lambda: bisect.solve_bisection(f, 1.0, 1e-6, r_hi))()
+    return float(r) if bool(ok) else 0.0
+
+
 def write_graphics_description(cfg, params,
                                path="graphics_description_mirror.dat",
                                num_plot_k_vectors=0, scale_k_vec="True",
-                               k_vec_base_length=0.02, set_xy_lim="True"):
-    """mirror_processor_m.f90:184-231 (keys read by plot_RAYS_mirror.py)."""
-    rmax = float(params.eq.box_rmax)
+                               k_vec_base_length=0.02, set_xy_lim="True",
+                               z_reference=None):
+    """mirror_processor_m.f90:184-231, emitting exactly the keys
+    plot_RAYS_mirror.py reads (box_rmax/box_zmin/box_zmax/z_reference/
+    r_Omode_cut_at_z_ref, plot_RAYS_mirror.py:74-101)."""
+    zr = z_reference if z_reference is not None else \
+        0.5 * (float(params.eq.box_zmin) + float(params.eq.box_zmax))
     with open(path, "w") as f:
         f.write(f" run_description = {cfg.run_description}\n")
         f.write(f" run_label = {cfg.run_label}\n")
-        f.write(f" xmin = {-rmax}\n")
-        f.write(f" xmax = {rmax}\n")
-        f.write(f" ymin = {-rmax}\n")
-        f.write(f" ymax = {rmax}\n")
-        f.write(f" zmin = {float(params.eq.box_zmin)}\n")
-        f.write(f" zmax = {float(params.eq.box_zmax)}\n")
+        f.write(f" box_rmax = {float(params.eq.box_rmax)}\n")
+        f.write(f" box_zmin = {float(params.eq.box_zmin)}\n")
+        f.write(f" box_zmax = {float(params.eq.box_zmax)}\n")
         f.write(f" num_plot_k_vectors = {num_plot_k_vectors}\n")
         f.write(f" scale_k_vec = {scale_k_vec}\n")
         f.write(f" k_vec_base_length = {k_vec_base_length}\n")
         f.write(f" set_XY_lim = {set_xy_lim}\n")
+        f.write(f" z_reference = {zr}\n")
+        f.write(f" r_Omode_cut_at_z_ref = {r_omode_cutoff(cfg, params, zr)}\n")
     return path
 
 
@@ -170,7 +195,8 @@ def process(cfg, params, results, z_reference=None, do_ox_analysis=True,
     zr = z_reference if z_reference is not None else \
         0.5 * (float(params.eq.box_zmin) + float(params.eq.box_zmax))
     out["radial_profiles"] = write_radial_profiles(cfg, params, zr)
-    out["graphics_description"] = write_graphics_description(cfg, params)
+    out["graphics_description"] = write_graphics_description(
+        cfg, params, z_reference=zr)
     if calculate_ray_diag:
         from rays_tpu.post import ray_diags
 

@@ -19,6 +19,7 @@ def load_results_nc(path):
     import jax.numpy as jnp
 
     from rays_tpu.results.netcdf import read_results_nc
+    from rays_tpu.tracing.stop import flag_code
     from rays_tpu.tracing.trace import RayResults
 
     d = read_results_nc(path)
@@ -26,11 +27,23 @@ def load_results_nc(path):
     def f64(name):
         return jnp.asarray(np.array(d[name], dtype=np.float64))
 
+    # restore the stop taxonomy from the stored flag strings (the reference
+    # round-trips ray_stop_flag through its files, ray_results_m.f90:56,
+    # 253-363) so file-based post-processing keyed on stop reason sees the
+    # same codes as in-process
+    if "ray_stop_flag" in d:
+        raw = np.asarray(d["ray_stop_flag"])  # (nray, 60) of S1
+        strings = [b"".join(row).decode("ascii", "replace") for row in raw]
+        stop_flag = jnp.asarray(
+            np.array([flag_code(s) for s in strings], np.int32))
+    else:
+        stop_flag = jnp.zeros(d["npoints"].shape, jnp.int32)
+
     return RayResults(
         ray_vec=f64("ray_vec"),
         residual=f64("residual"),
         npoints=jnp.asarray(np.array(d["npoints"], dtype=np.int32)),
-        stop_flag=jnp.zeros(d["npoints"].shape, jnp.int32),
+        stop_flag=stop_flag,
         initial_ray_power=f64("initial_ray_power"),
         end_residuals=f64("end_residuals"),
         max_residuals=f64("max_residuals"),

@@ -150,8 +150,11 @@ def write_radial_profiles(cfg, params, n_points=101, out_prefix=None):
 
 def write_graphics_description(cfg, params,
                                path="graphics_description_axisym_toroid.dat",
-                               num_plot_k_vectors=5, scale_k_vec="max_len",
-                               k_vec_base_length=0.05):
+                               num_plot_k_vectors=5, scale_k_vec="True",
+                               k_vec_base_length=0.05, set_xy_lim="True"):
+    """Exactly the keys plot_RAYS_axisym_toroid.py reads (:93-112,364-373)
+    — or, for the solovev geometry, plot_RAYS_solovev.py (:76-81,204-211,
+    265-291, which additionally wants rmaj/kappa for its own psi contour)."""
     rb, zb, _ = find_plasma_boundary(cfg, params, n_theta=32)
     with open(path, "w") as f:
         f.write(f" run_description = {cfg.run_description}\n")
@@ -167,7 +170,56 @@ def write_graphics_description(cfg, params,
         f.write(f" num_plot_k_vectors = {num_plot_k_vectors}\n")
         f.write(f" scale_k_vec = {scale_k_vec}\n")
         f.write(f" k_vec_base_length = {k_vec_base_length}\n")
+        f.write(f" set_XY_lim = {set_xy_lim}\n")
+        if cfg.equilib_model == "solovev":
+            f.write(f" rmaj = {float(params.eq.rmaj)}\n")
+            f.write(f" kappa = {float(params.eq.kappa)}\n")
     return path
+
+
+def write_eq_contours(cfg, params, n_r=65, n_z=65, path=None):
+    """psiN + per-species |gamma| on the (R, Z) plane ->
+    eq_contours.<label>.nc as plot_RAYS_axisym_toroid.py:311-349 reads it:
+    R (n_R), Z (n_Z), psiN (n_Z, n_R), gamma_array (nspec+1, n_Z, n_R)."""
+    from scipy.io import netcdf_file
+
+    from rays_tpu.models import base
+
+    psiN = _psiN_fn(cfg, params)
+    rmin, rmax = float(params.eq.box_rmin), float(params.eq.box_rmax)
+    zmin, zmax = float(params.eq.box_zmin), float(params.eq.box_zmax)
+    rs = np.linspace(rmin, rmax, n_r)
+    zs = np.linspace(zmin, zmax, n_z)
+
+    def one(r, z):
+        rvec = jnp.stack([r, jnp.zeros_like(r), z])
+        pn = psiN(rvec)
+        _, gamma, _, _ = dispersion.alpha_gamma(
+            cfg, params, rvec, params.rf.omgrf)
+        return pn, jnp.abs(gamma)
+
+    R, Z = np.meshgrid(rs, zs, indexing="ij")
+    pn, gam = jax.jit(jax.vmap(one))(
+        jnp.asarray(R.ravel()), jnp.asarray(Z.ravel()))
+    S = cfg.ns
+    pn = np.asarray(pn).reshape(n_r, n_z).T                      # (n_Z, n_R)
+    gam = np.transpose(np.asarray(gam).reshape(n_r, n_z, S), (2, 1, 0))
+
+    fname = path or f"eq_contours.{cfg.run_label}.nc"
+    f = netcdf_file(fname, "w")
+    try:
+        f.createDimension("n_R", n_r)
+        f.createDimension("n_Z", n_z)
+        f.createDimension("nspec_p1", S)
+        v = f.createVariable("R", np.float64, ("n_R",)); v[:] = rs
+        v = f.createVariable("Z", np.float64, ("n_Z",)); v[:] = zs
+        v = f.createVariable("psiN", np.float64, ("n_Z", "n_R")); v[:] = pn
+        v = f.createVariable("gamma_array", np.float64,
+                             ("nspec_p1", "n_Z", "n_R"))
+        v[:] = gam
+    finally:
+        f.close()
+    return fname
 
 
 def process(cfg, params, results):
@@ -175,6 +227,11 @@ def process(cfg, params, results):
     rb, zb, ok = find_plasma_boundary(cfg, params)
     out["boundary"] = (rb, zb)
     out["contours"] = write_eq_contour_grids(cfg, params)
+    out["eq_contours"] = write_eq_contours(cfg, params)
     out["profiles"] = write_radial_profiles(cfg, params)
-    out["graphics_description"] = write_graphics_description(cfg, params)
+    gd_path = ("graphics_description_solovev.dat"
+               if cfg.equilib_model == "solovev"
+               else "graphics_description_axisym_toroid.dat")
+    out["graphics_description"] = write_graphics_description(
+        cfg, params, path=gd_path)
     return out

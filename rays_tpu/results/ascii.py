@@ -100,3 +100,97 @@ def read_results_ld(path):
     out["residual"] = farr("residual").reshape(nray, pts)
     out["ray_vec"] = farr("ray_vec").reshape(nray, pts, nv)
     return out
+
+
+def write_formatted_ray_files(cfg, results, directory=".", run_label=None,
+                              ds=None):
+    """Per-step formatted ray files: ray_out.<label> + ray_list.<label>.
+
+    The reference streams ``s, v(:)`` after every accepted step
+    (check_save.f90:152-154 into the files opened in intialize.f90:79-91)
+    and writes the companion description file at the end of trace_rays
+    (ray_tracing.f90:280-286); the rationale is crash forensics
+    (diagnostics_m.f90:85-91).  The TPU trace computes the whole trajectory
+    in one fused scan, so the equivalent here is written from the saved
+    trajectory immediately after the (chunked) device computation returns —
+    same file names, same list-directed layout, so the legacy stream reader
+    (ours below, or post_processing_m.f90:292-361) consumes them unchanged.
+
+    Requires cfg.save_trajectory.  ``s`` at point j is j*ds (the outer
+    integration grid; both steppers advance exactly ds per outer step).
+    """
+    label = run_label or cfg.run_label
+    npoints = np.asarray(results.npoints)
+    ray_vec = np.asarray(results.ray_vec)
+    nray = int(npoints.shape[0])
+    nv = int(ray_vec.shape[-1])
+    if ray_vec.shape[1] < int(npoints.max()):
+        raise ValueError(
+            "write_formatted_ray_files needs the saved trajectory "
+            "(cfg.save_trajectory=True)")
+    ds = float(ds) if ds is not None else None
+
+    import os
+
+    out_path = os.path.join(directory, f"ray_out.{label}")
+    with open(out_path, "w") as f:
+        for ir in range(nray):
+            for j in range(int(npoints[ir])):
+                s = (j * ds) if ds is not None else float(ray_vec[ir, j, 6])
+                f.write(" " + f"{s:.17g} "
+                        + " ".join(f"{float(v):.17g}"
+                                   for v in ray_vec[ir, j, :]) + "\n")
+
+    list_path = os.path.join(directory, f"ray_list.{label}")
+    with open(list_path, "w") as f:
+        f.write(f" {nray}\n")
+        f.write(f" {nv}\n")
+        f.write(" " + " ".join(str(int(n)) for n in npoints) + "\n")
+        f.write(" " + " ".join(
+            f"{float(v):.17g}" for v in np.asarray(results.end_residuals))
+            + "\n")
+        f.write(" " + " ".join(
+            flag_string(int(s)).replace(" ", "_") or "OK"
+            for s in np.asarray(results.stop_flag)) + "\n")
+    return out_path, list_path
+
+
+def read_ray_data(run_label, directory="."):
+    """Legacy stream-reader analog (post_processing_m.f90:292-361): read
+    ray_list.<label> + ray_out.<label> back into arrays.
+
+    Returns dict with s_vec (nray, npoints_max), v_vec (nray, npoints_max,
+    nv), npoints, end_residuals, ray_stop_flag.  Tolerates a truncated
+    ray_out (a crashed run): missing points stay zero and the actual count
+    is reflected in npoints.
+    """
+    import os
+
+    with open(os.path.join(directory, f"ray_list.{run_label}")) as f:
+        nray = int(f.readline().split()[0])
+        nv = int(f.readline().split()[0])
+        npoints = np.asarray([int(v) for v in f.readline().split()])
+        end_residuals = np.asarray([float(v) for v in f.readline().split()])
+        ray_stop = f.readline().split()
+    assert npoints.shape[0] == nray
+
+    npoints_max = int(npoints.max()) if nray else 0
+    s_vec = np.zeros((nray, npoints_max))
+    v_vec = np.zeros((nray, npoints_max, nv))
+    got = np.zeros(nray, np.int64)
+    with open(os.path.join(directory, f"ray_out.{run_label}")) as f:
+        for ir in range(nray):
+            for j in range(int(npoints[ir])):
+                line = f.readline()
+                if not line:  # truncated by a crash: keep what we have
+                    break
+                vals = [float(v) for v in line.split()]
+                s_vec[ir, j] = vals[0]
+                v_vec[ir, j, :] = vals[1:1 + nv]
+                got[ir] = j + 1
+    return {
+        "s_vec": s_vec, "v_vec": v_vec,
+        "npoints": np.minimum(npoints, got),
+        "npoints_declared": npoints,
+        "end_residuals": end_residuals, "ray_stop_flag": ray_stop,
+    }

@@ -102,9 +102,8 @@ def run(path, diag=None):
         diag.message("rays_tpu run", cfg.run_label, threshold=0)
         diag.message("number of rays", int(v0.shape[0]), threshold=0)
         diag.message("nv", cfg.nv, threshold=0)
-    tracer = jax.jit(lambda p, v, st, w: trace_mod.trace_batch(cfg, p, v, st, w))
     t0 = time.perf_counter()
-    results = tracer(params, v0, status0, pwr)
+    results = trace_mod.trace_rays(cfg, params, v0, status0, pwr)
     jax.block_until_ready(results)
     wall = time.perf_counter() - t0
     if diag is not None:
@@ -127,6 +126,14 @@ def run(path, diag=None):
         diag.message("max dispersion residual",
                      float(np.asarray(results.max_residuals).max()),
                      threshold=0)
+    if cfg.write_formatted_ray_files and cfg.save_trajectory:
+        from rays_tpu.results.ascii import write_formatted_ray_files
+
+        out_p, list_p = write_formatted_ray_files(
+            cfg, results, ds=float(params.ode.ds))
+        if diag is not None:
+            diag.message("wrote formatted ray files",
+                         f"{out_p} {list_p}", threshold=0)
     return cfg, results, wall
 
 

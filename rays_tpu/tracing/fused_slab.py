@@ -4,10 +4,11 @@ Performance rationale: the production scan path (tracing/trace.py) executes
 ~nstep XLA loop iterations, each reading and writing the (B, nv) ray state
 through HBM plus per-op dispatch overhead — at 32k f32 rays the state is
 under 1 MB, which fits comfortably in VMEM.  This kernel keeps every state
-component in registers/VMEM for the whole trajectory: one kernel launch
-per ray block, zero HBM traffic between steps.  Measured on a v5e chip it
-multiplies forward throughput several-fold over the already-fused XLA scan
-(numbers in bench.py / BENCH_r02).
+component in VMEM scratch for the whole trajectory (the step axis is the
+second grid dimension, which TPU executes sequentially): one kernel launch
+per batch, zero HBM traffic between steps.  Measured fused-vs-scan numbers
+are recorded by bench.py (rays_per_s_fused_f32 / fused_speedup_vs_scan in
+BENCH_r03).
 
 Scope (deliberate): the slab geometry with the analytic profile models,
 cold dispersion, no damping — exactly the reference's headline benchmark
@@ -74,10 +75,10 @@ def supported(cfg) -> bool:
             and st.dens_prof_model in ("constant", "linear", "Gaussian"))
 
 
-def trace_batch_fused(cfg, params, v0, status0, pwr_wt) -> RayResults:
-    """Drop-in fused version of trace_batch for supported slab configs.
-    v0: (B, nv>=7) — only the first 7 slots are integrated (no damping)."""
-    assert supported(cfg), "config not supported by the fused slab kernel"
+def make_slab_physics(cfg, params):
+    """Build the batched (SUBS, LANES)-lane physics closures used by the
+    kernel body: returns (rhs, check, run_consts).  Module-level so the
+    pieces are independently compilable/testable."""
     st, C = _slab_profile_consts(cfg, params)
 
     sp = params.species
@@ -94,8 +95,6 @@ def trace_batch_fused(cfg, params, v0, status0, pwr_wt) -> RayResults:
     resid_limit = float(np.asarray(params.limits.dispersion_resid_limit))
     nstep_max = cfg.nstep_max
     time_param = cfg.ray_param == "time"
-
-    dt = jnp.float32 if v0.dtype == jnp.float32 else v0.dtype
 
     # ---- batched slab equilibrium on (SUBS, LANES) lane arrays ----
 
@@ -327,94 +326,119 @@ def trace_batch_fused(cfg, params, v0, status0, pwr_wt) -> RayResults:
         status = jnp.where(err != 0, err, status)
         return resid, status
 
-    # ---- the kernel: full trajectory loop, state in VMEM ----
+    return rhs, check, dict(ds=ds, s_max=s_max, nstep_max=nstep_max,
+                            time_param=time_param)
+
+
+def trace_batch_fused(cfg, params, v0, status0, pwr_wt) -> RayResults:
+    """Drop-in fused version of trace_batch for supported slab configs.
+    v0: (B, nv>=7) — only the first 7 slots are integrated (no damping)."""
+    assert supported(cfg), "config not supported by the fused slab kernel"
+    rhs, check, rc = make_slab_physics(cfg, params)
+    ds, s_max, nstep_max = rc["ds"], rc["s_max"], rc["nstep_max"]
+
+    dt = jnp.float32 if v0.dtype == jnp.float32 else v0.dtype
+
+    # ---- the kernel ----
+    #
+    # The trajectory loop is the SECOND GRID DIMENSION, not an in-kernel
+    # fori_loop: TPU grid iterations execute sequentially on the core, so
+    # per-block ray state carried in VMEM scratch across grid steps is the
+    # whole-trajectory-in-VMEM design — and Mosaic compiles the step body
+    # once as the kernel body.  (An in-kernel fori_loop/scf.for wrapped
+    # around this ~1.5k-op body sends the Mosaic backend into a >19-minute
+    # compile on this toolchain; the grid form compiles in seconds.)
+    # Scratch lives per-core and the grid runs (block, step) row-major, so
+    # each block's trajectory completes before the next block starts.
 
     def kernel(v_ref, st_ref, out_v_ref, out_st_ref, out_np_ref,
-               out_endres_ref, out_maxres_ref):
-        x = v_ref[0]
-        y = v_ref[1]
-        z = v_ref[2]
-        kx = v_ref[3]
-        ky = v_ref[4]
-        kz = v_ref[5]
-        s7 = v_ref[6]
-        status = st_ref[:]
-        nstep = jnp.zeros(x.shape, jnp.int32)
-        end_res = jnp.zeros_like(x)
-        max_res = jnp.zeros_like(x)
+               out_endres_ref, out_maxres_ref, vs, ss, ns, es, ms):
+        k = pl.program_id(1)
 
-        # initial validity check (ray_tracing.f90:100-112)
-        _, st0 = check(x, y, z, kx, ky, kz)
-        status = jnp.where(status != 0, status, st0)
+        @pl.when(k == 0)
+        def _init():
+            # initial validity check (ray_tracing.f90:100-112)
+            x = v_ref[0]
+            y = v_ref[1]
+            z = v_ref[2]
+            kx = v_ref[3]
+            ky = v_ref[4]
+            kz = v_ref[5]
+            _, st0 = check(x, y, z, kx, ky, kz)
+            status0 = st_ref[:]
+            ss[:] = jnp.where(status0 != 0, status0, st0)
+            for i in range(7):
+                vs[i] = v_ref[i]
+            ns[:] = jnp.zeros(x.shape, jnp.int32)
+            es[:] = jnp.zeros_like(x)
+            ms[:] = jnp.zeros_like(x)
 
-        def body(k, carry):
-            x, y, z, kx, ky, kz, s7, status, nstep, end_res, max_res = carry
-            sout = (k + 1).astype(x.dtype) * ds
-            active = status == 0
-            status = jnp.where(
-                active & (sout > s_max),
-                jnp.full_like(status, int(StopCode.SOUT_GT_SMAX)), status)
-            active = status == 0
+        x, y, z = vs[0], vs[1], vs[2]
+        kx, ky, kz, s7 = vs[3], vs[4], vs[5], vs[6]
+        status = ss[:]
 
-            # RK4 stages (RK4_ode_m.f90:81-92); first-flagged-stage status
-            d1 = rhs(x, y, z, kx, ky, kz)
-            h = ds / 2.0
-            d2 = rhs(x + h * d1[0], y + h * d1[1], z + h * d1[2],
-                     kx + h * d1[3], ky + h * d1[4], kz + h * d1[5])
-            d3 = rhs(x + h * d2[0], y + h * d2[1], z + h * d2[2],
-                     kx + h * d2[3], ky + h * d2[4], kz + h * d2[5])
-            d4 = rhs(x + ds * d3[0], y + ds * d3[1], z + ds * d3[2],
-                     kx + ds * d3[3], ky + ds * d3[4], kz + ds * d3[5])
-            solver_st = d1[7]
-            for d in (d2, d3, d4):
-                solver_st = jnp.where(solver_st != 0, solver_st, d[7])
-
-            w = ds / 6.0
-            xn = x + w * (d1[0] + 2 * d2[0] + 2 * d3[0] + d4[0])
-            yn = y + w * (d1[1] + 2 * d2[1] + 2 * d3[1] + d4[1])
-            zn = z + w * (d1[2] + 2 * d2[2] + 2 * d3[2] + d4[2])
-            kxn = kx + w * (d1[3] + 2 * d2[3] + 2 * d3[3] + d4[3])
-            kyn = ky + w * (d1[4] + 2 * d2[4] + 2 * d3[4] + d4[4])
-            kzn = kz + w * (d1[5] + 2 * d2[5] + 2 * d3[5] + d4[5])
-            s7n = s7 + w * (d1[6] + 2 * d2[6] + 2 * d3[6] + d4[6])
-
-            status = jnp.where(active & (solver_st != 0), solver_st, status)
-            accepted = active & (solver_st == 0)
-
-            resid, check_st = check(xn, yn, zn, kxn, kyn, kzn)
-            status = jnp.where(accepted & (check_st != 0), check_st, status)
-            ok = accepted & (check_st == 0)
-
-            x = jnp.where(ok, xn, x)
-            y = jnp.where(ok, yn, y)
-            z = jnp.where(ok, zn, z)
-            kx = jnp.where(ok, kxn, kx)
-            ky = jnp.where(ok, kyn, ky)
-            kz = jnp.where(ok, kzn, kz)
-            s7 = jnp.where(ok, s7n, s7)
-            nstep = nstep + ok.astype(jnp.int32)
-            end_res = jnp.where(ok, resid, end_res)
-            max_res = jnp.where(ok, jnp.maximum(max_res, resid), max_res)
-            return (x, y, z, kx, ky, kz, s7, status, nstep, end_res, max_res)
-
-        carry = (x, y, z, kx, ky, kz, s7, status, nstep, end_res, max_res)
-        carry = jax.lax.fori_loop(0, nstep_max, body, carry)
-        x, y, z, kx, ky, kz, s7, status, nstep, end_res, max_res = carry
-
+        # NB: float index arithmetic — integer `k + 1` under x64 promotes
+        # to i64, which Mosaic rejects
+        sout = (k.astype(x.dtype) + 1.0) * ds
+        active = status == 0
         status = jnp.where(
-            status == 0, jnp.full_like(status, int(StopCode.NSTEP_MAX)), status)
+            active & (sout > s_max),
+            jnp.full_like(status, int(StopCode.SOUT_GT_SMAX)), status)
+        active = status == 0
 
-        out_v_ref[0] = x
-        out_v_ref[1] = y
-        out_v_ref[2] = z
-        out_v_ref[3] = kx
-        out_v_ref[4] = ky
-        out_v_ref[5] = kz
-        out_v_ref[6] = s7
-        out_st_ref[:] = status
-        out_np_ref[:] = 1 + nstep
-        out_endres_ref[:] = end_res
-        out_maxres_ref[:] = max_res
+        # RK4 stages (RK4_ode_m.f90:81-92); first-flagged-stage status
+        d1 = rhs(x, y, z, kx, ky, kz)
+        h = ds / 2.0
+        d2 = rhs(x + h * d1[0], y + h * d1[1], z + h * d1[2],
+                 kx + h * d1[3], ky + h * d1[4], kz + h * d1[5])
+        d3 = rhs(x + h * d2[0], y + h * d2[1], z + h * d2[2],
+                 kx + h * d2[3], ky + h * d2[4], kz + h * d2[5])
+        d4 = rhs(x + ds * d3[0], y + ds * d3[1], z + ds * d3[2],
+                 kx + ds * d3[3], ky + ds * d3[4], kz + ds * d3[5])
+        solver_st = d1[7]
+        for d in (d2, d3, d4):
+            solver_st = jnp.where(solver_st != 0, solver_st, d[7])
+
+        w = ds / 6.0
+        xn = x + w * (d1[0] + 2 * d2[0] + 2 * d3[0] + d4[0])
+        yn = y + w * (d1[1] + 2 * d2[1] + 2 * d3[1] + d4[1])
+        zn = z + w * (d1[2] + 2 * d2[2] + 2 * d3[2] + d4[2])
+        kxn = kx + w * (d1[3] + 2 * d2[3] + 2 * d3[3] + d4[3])
+        kyn = ky + w * (d1[4] + 2 * d2[4] + 2 * d3[4] + d4[4])
+        kzn = kz + w * (d1[5] + 2 * d2[5] + 2 * d3[5] + d4[5])
+        s7n = s7 + w * (d1[6] + 2 * d2[6] + 2 * d3[6] + d4[6])
+
+        status = jnp.where(active & (solver_st != 0), solver_st, status)
+        accepted = active & (solver_st == 0)
+
+        resid, check_st = check(xn, yn, zn, kxn, kyn, kzn)
+        status = jnp.where(accepted & (check_st != 0), check_st, status)
+        ok = accepted & (check_st == 0)
+
+        vs[0] = jnp.where(ok, xn, x)
+        vs[1] = jnp.where(ok, yn, y)
+        vs[2] = jnp.where(ok, zn, z)
+        vs[3] = jnp.where(ok, kxn, kx)
+        vs[4] = jnp.where(ok, kyn, ky)
+        vs[5] = jnp.where(ok, kzn, kz)
+        vs[6] = jnp.where(ok, s7n, s7)
+        ss[:] = status
+        ns[:] = ns[:] + ok.astype(jnp.int32)
+        es[:] = jnp.where(ok, resid, es[:])
+        ms[:] = jnp.where(ok, jnp.maximum(ms[:], resid), ms[:])
+
+        @pl.when(k == nstep_max - 1)
+        def _finalize():
+            st_f = ss[:]
+            # still-live rays exhausted the step budget
+            st_f = jnp.where(
+                st_f == 0, jnp.full_like(st_f, int(StopCode.NSTEP_MAX)), st_f)
+            for i in range(7):
+                out_v_ref[i] = vs[i]
+            out_st_ref[:] = st_f
+            out_np_ref[:] = 1 + ns[:]
+            out_endres_ref[:] = es[:]
+            out_maxres_ref[:] = ms[:]
 
     @jax.jit
     def run(v0, status0):
@@ -431,25 +455,41 @@ def trace_batch_fused(cfg, params, v0, status0, pwr_wt) -> RayResults:
         st_in = stp.reshape(rows, LANES)
         nblocks = rows // SUBS
 
-        grid_spec = pl.GridSpec(
-            grid=(nblocks,),
+        # index maps return i32 literals: under jax_enable_x64 a bare `0`
+        # lowers as an i64 constant, which Mosaic cannot legalize in the
+        # index-map function signature (NumPy scalars, not jnp — index maps
+        # must not capture traced constants).  The step axis k never moves
+        # the blocks: each ray block stays resident in VMEM for its whole
+        # trajectory; outputs are written at the last step only.
+        vmap3 = lambda i, k: (np.int32(0), i, np.int32(0))
+        vmap2 = lambda i, k: (i, np.int32(0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nblocks, nstep_max),
             in_specs=[
-                pl.BlockSpec((7, SUBS, LANES), lambda i: (0, i, 0),
+                pl.BlockSpec((7, SUBS, LANES), vmap3,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((SUBS, LANES), lambda i: (i, 0),
+                pl.BlockSpec((SUBS, LANES), vmap2,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((7, SUBS, LANES), lambda i: (0, i, 0),
+                pl.BlockSpec((7, SUBS, LANES), vmap3,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((SUBS, LANES), lambda i: (i, 0),
+                pl.BlockSpec((SUBS, LANES), vmap2,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((SUBS, LANES), lambda i: (i, 0),
+                pl.BlockSpec((SUBS, LANES), vmap2,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((SUBS, LANES), lambda i: (i, 0),
+                pl.BlockSpec((SUBS, LANES), vmap2,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((SUBS, LANES), lambda i: (i, 0),
+                pl.BlockSpec((SUBS, LANES), vmap2,
                              memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((7, SUBS, LANES), dt),   # ray state
+                pltpu.VMEM((SUBS, LANES), jnp.int32),  # status
+                pltpu.VMEM((SUBS, LANES), jnp.int32),  # accepted steps
+                pltpu.VMEM((SUBS, LANES), dt),      # end residual
+                pltpu.VMEM((SUBS, LANES), dt),      # max residual
             ],
         )
         out_shape = [

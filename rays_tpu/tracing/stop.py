@@ -67,3 +67,22 @@ STOP_FLAG_STRINGS = {
 
 def flag_string(code: int) -> str:
     return STOP_FLAG_STRINGS.get(StopCode(int(code)), f"code_{int(code)}")
+
+
+_STRING_TO_CODE = {s.strip(): int(c) for c, s in STOP_FLAG_STRINGS.items()}
+
+
+def flag_code(flag: str) -> int:
+    """Inverse of flag_string: parse a stop-flag string (as stored in a
+    results file, reference ray_results_m.f90:56,253-363) back to the int
+    code.  Unknown strings map to -1 so a file from a newer/older writer
+    degrades loudly rather than silently to OK."""
+    s = flag.strip()
+    if s in _STRING_TO_CODE:
+        return _STRING_TO_CODE[s]
+    if s.startswith("code_"):
+        try:
+            return int(s[5:])
+        except ValueError:
+            pass
+    return -1

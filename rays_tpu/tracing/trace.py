@@ -55,6 +55,38 @@ def get_step_fn(cfg):
     raise ValueError(f"invalid ode solver {cfg.ode_solver_name}")
 
 
+def trace_rays(cfg, params, v0, status0, pwr_wt) -> RayResults:
+    """Driver-level tracer dispatch (the analog of the reference's
+    trace_rays, ray_tracing.f90:1): rides the fused Pallas kernel
+    (tracing/fused_slab.py) when the run qualifies — f32 batch, analytic
+    slab, RK4, no damping, summaries only — else jits the XLA scan.
+
+    Must be called OUTSIDE jit: the fused path bakes run parameters into
+    the kernel as compile-time constants.  Inside jitted code (adjoints,
+    sharded tracers) call trace_batch directly.
+    """
+    mode = getattr(cfg, "fused_kernel", "auto")
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"invalid fused_kernel mode {mode!r}")
+    if mode != "off":
+        from rays_tpu.tracing import fused_slab
+
+        qualifies = (fused_slab.supported(cfg)
+                     and v0.dtype == jnp.float32
+                     and not isinstance(v0, jax.core.Tracer))
+        if mode == "on" and not qualifies:
+            raise ValueError(
+                "fused_kernel='on' but the run does not qualify "
+                "(needs f32 + analytic slab + RK4 + no damping + "
+                "save_trajectory=False, outside jit)")
+        if qualifies:
+            return fused_slab.trace_batch_fused(cfg, params, v0, status0,
+                                                pwr_wt)
+    tracer = jax.jit(
+        lambda p, v, st, w: trace_batch(cfg, p, v, st, w))
+    return tracer(params, v0, status0, pwr_wt)
+
+
 def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
     """Trace a batch of rays.  v0: (B, nv); status0: (B,) int32 (nonzero
     entries — e.g. padding rays — never start); pwr_wt: (B,)."""

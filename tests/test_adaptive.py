@@ -1,0 +1,196 @@
+"""Adaptive-stepper (SG_ODE -> DP5(4), tracing/rk45.py) validation.
+
+The reference's daily-driver integration path is the Shampine-Gordon suite:
+every flagship input selects ode_solver_name='SG_ODE'
+(examples_RAYS/ECH_90GHz_slab/slab_ECH_90GHz_case_1.in:73; the Solovev
+example at tol 1e-9; SG_ode_m.f90:89-159).  The TPU equivalence contract
+(SURVEY.md §7.1): the adaptive stepper agrees with the exact solution at
+the tolerance level — validated here against the independent NumPy oracle
+run at much smaller fixed RK4 steps, for both the slab (time
+parameterization) and Solovev (arclength) examples.
+
+Also covered: per-ray h carry across outer steps, lockstep-masked substeps
+under vmap (batched == per-ray solo), and the ODE_TOTAL_ERROR semantics of
+SG_ode_m.f90:140-147 on both failure branches (h-underflow and substep
+exhaustion).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rays_tpu  # noqa: F401
+from rays_tpu import examples
+from rays_tpu.tracing import rk45, trace as trace_mod
+from rays_tpu.tracing.stop import StopCode
+
+import _oracle as oracle
+from test_parity import _oracle_cfg, _slab_eq_fn, _solovev_eq_fn
+
+# tolerance-level agreement: the adaptive answer must sit within a small
+# multiple of the requested tolerance of the fine-step truth
+TOL = 1.0e-7
+REFINE = 20          # oracle runs at ds/REFINE fixed RK4
+
+
+def _sg_text(base, rel=TOL, nstep="80"):
+    out = base.replace("rel_err0=1.e-4, abs_err0=1.e-4",
+                       f"rel_err0={rel}, abs_err0={rel}")
+    out = out.replace("rel_err0=1.e-7, abs_err0=1.e-7",
+                      f"rel_err0={rel}, abs_err0={rel}")
+    out = out.replace("nstep_max=500", f"nstep_max={nstep}")
+    out = out.replace("nstep_max=200", f"nstep_max={nstep}")
+    out = out.replace("ode_solver_name='RK4_ODE'", "ode_solver_name='SG_ODE'")
+    return out
+
+
+def _trace(cfg, params, v0, st, pwr):
+    tracer = jax.jit(lambda p, v, s, w: trace_mod.trace_batch(cfg, p, v, s, w))
+    res = tracer(params, v0, st, pwr)
+    jax.block_until_ready(res)
+    return res
+
+
+def _assert_tolerance_agreement(cfg, params, res, oc, tol_mult=200.0):
+    # tol_mult: per-step error control at TOL accumulates over ~n outer
+    # steps (n <= 80 here), so tolerance-LEVEL agreement means a small
+    # multiple of n * TOL, not TOL itself
+    """Each saved point of the adaptive trajectory must match the oracle's
+    fine-step solution at the same s to ~tolerance level."""
+    ds, s_max = float(params.ode.ds), float(params.ode.s_max)
+    v0 = np.asarray(res.start_ray_vec, float)
+    vrepo = np.asarray(res.ray_vec, float)
+    npts = np.asarray(res.npoints)
+    checked = 0
+    for ir in range(v0.shape[0]):
+        n = int(npts[ir])
+        traj, _, _ = oracle.trace_ray(
+            oc, v0[ir], (n - 1) * REFINE, ds / REFINE, s_max)
+        n_common = min(n, (len(traj) - 1) // REFINE + 1)
+        assert n_common >= 2, f"ray {ir}: oracle stopped immediately"
+        fine = traj[::REFINE][:n_common]
+        got = vrepo[ir, :n_common, :]
+        scale_x = max(np.abs(fine[:, 0:3]).max(), 1e-12)
+        scale_k = max(np.abs(fine[:, 3:6]).max(), 1e-12)
+        np.testing.assert_allclose(
+            got[:, 0:3], fine[:, 0:3], rtol=0, atol=tol_mult * TOL * scale_x,
+            err_msg=f"ray {ir} positions beyond tolerance")
+        np.testing.assert_allclose(
+            got[:, 3:6], fine[:, 3:6], rtol=0, atol=tol_mult * TOL * scale_k,
+            err_msg=f"ray {ir} wavevector beyond tolerance")
+        checked += 1
+    assert checked == v0.shape[0]
+
+
+def test_sg_slab_matches_fine_oracle():
+    """Slab ECH with SG_ODE exactly as the reference's flagship input
+    (slab_ECH_90GHz_case_1.in runs the SG suite, not RK4)."""
+    cfg, params, v0, st, pwr = examples.setup_example(
+        _sg_text(examples.SLAB_ECH_90GHZ))
+    assert cfg.ode_solver_name == "SG_ODE"
+    res = _trace(cfg, params, v0, st, pwr)
+    assert int(np.asarray(res.npoints).min()) >= 2
+    oc = _oracle_cfg(cfg, params, _slab_eq_fn(cfg, params))
+    _assert_tolerance_agreement(cfg, params, res, oc)
+
+
+def test_sg_solovev_matches_fine_oracle():
+    """Solovev fan with SG_ODE (the reference example runs tol 1e-7..1e-9,
+    solovev_ECH_90GHz_minus_root.in)."""
+    cfg, params, v0, st, pwr = examples.setup_example(
+        _sg_text(examples.SOLOVEV_ECH_90GHZ, nstep="60"))
+    assert cfg.ode_solver_name == "SG_ODE"
+    res = _trace(cfg, params, v0, st, pwr)
+    assert int(np.asarray(res.npoints).min()) >= 2
+    oc = _oracle_cfg(cfg, params, _solovev_eq_fn(cfg, params))
+    _assert_tolerance_agreement(cfg, params, res, oc)
+
+
+def test_adaptive_beats_fixed_rk4_at_equal_outer_steps():
+    """The point of the adaptive path: at the same outer grid the SG-analog
+    tracks the fine solution better than single-sweep RK4 when the outer ds
+    is coarse.  Run the slab at 4x the example ds."""
+    coarse = _sg_text(examples.SLAB_ECH_90GHZ).replace(
+        "ds=5.e-11", "ds=4.e-10")
+    cfg, params, v0, st, pwr = examples.setup_example(coarse)
+    cfg_rk4 = dataclasses.replace(cfg, ode_solver_name="RK4_ODE")
+    res_sg = _trace(cfg, params, v0, st, pwr)
+    res_rk4 = _trace(cfg_rk4, params, v0, st, pwr)
+
+    oc = _oracle_cfg(cfg, params, _slab_eq_fn(cfg, params))
+    ds = float(params.ode.ds)
+    v0n = np.asarray(v0, float)
+    err_sg = err_rk4 = 0.0
+    for ir in range(v0n.shape[0]):
+        n = min(int(res_sg.npoints[ir]), int(res_rk4.npoints[ir]))
+        traj, _, _ = oracle.trace_ray(
+            oc, v0n[ir], (n - 1) * REFINE, ds / REFINE, float(params.ode.s_max))
+        fine_end = traj[::REFINE][n - 1]
+        err_sg += np.abs(
+            np.asarray(res_sg.ray_vec)[ir, n - 1, 0:3] - fine_end[0:3]).max()
+        err_rk4 += np.abs(
+            np.asarray(res_rk4.ray_vec)[ir, n - 1, 0:3] - fine_end[0:3]).max()
+    assert err_sg < err_rk4, (err_sg, err_rk4)
+
+
+def test_h_carries_across_outer_steps():
+    """The converged substep h persists to the next outer step
+    (SG_ode_m.f90:73-85 resets tolerances only at ray start)."""
+    cfg, params, v0, st, pwr = examples.setup_example(
+        _sg_text(examples.SLAB_ECH_90GHZ, rel="1.e-10"))
+    ds = params.ode.ds
+    v = v0[0]
+    s0 = jnp.zeros((), v.dtype)
+    step = jax.jit(lambda s, v, h: rk45.rk45_step(cfg, params, s, v, h))
+    v1, st1, h1 = step(s0, v, ds)
+    assert int(st1) == 0
+    # tight tolerance forces subdivision: the converged h is < ds
+    assert float(h1) < float(ds)
+    # carrying h into the next outer step reproduces the fresh-h result to
+    # integration accuracy but starts from the converged step size
+    v2_carry, st2, h2 = step(s0 + ds, v1, h1)
+    v2_fresh, _, _ = step(s0 + ds, v1, ds)
+    assert int(st2) == 0
+    np.testing.assert_allclose(np.asarray(v2_carry)[:6],
+                               np.asarray(v2_fresh)[:6], rtol=1e-9)
+
+
+def test_vmap_lockstep_equals_solo():
+    """Masked substep acceptance under vmap: every ray of a heterogeneous
+    batch gets exactly the result it gets when traced alone."""
+    cfg, params, v0, st, pwr = examples.setup_example(
+        _sg_text(examples.SLAB_ECH_90GHZ, nstep="40"))
+    res_batch = _trace(cfg, params, v0, st, pwr)
+    for ir in range(v0.shape[0]):
+        res_solo = _trace(cfg, params, v0[ir:ir + 1], st[ir:ir + 1],
+                          pwr[ir:ir + 1])
+        np.testing.assert_array_equal(
+            np.asarray(res_solo.npoints)[0], np.asarray(res_batch.npoints)[ir])
+        np.testing.assert_allclose(
+            np.asarray(res_solo.ray_vec)[0], np.asarray(res_batch.ray_vec)[ir],
+            rtol=0, atol=1e-13)
+
+
+def test_ode_total_error_on_h_underflow():
+    """Unachievable tolerance -> h shrinks to the floor -> ODE_TOTAL_ERROR
+    (the SG_ode_m.f90:140-147 abort analog)."""
+    cfg, params, v0, st, pwr = examples.setup_example(
+        _sg_text(examples.SLAB_ECH_90GHZ, rel="1.e-30", nstep="10"))
+    res = _trace(cfg, params, v0, st, pwr)
+    flags = np.asarray(res.stop_flag)
+    assert (flags == int(StopCode.ODE_TOTAL_ERROR)).all(), flags
+    # the failed step is not recorded: rays freeze at the launch point
+    np.testing.assert_array_equal(np.asarray(res.npoints), 1)
+
+
+def test_ode_total_error_on_substep_exhaustion():
+    """Substep budget exhausted before reaching sout -> ODE_TOTAL_ERROR."""
+    cfg, params, v0, st, pwr = examples.setup_example(
+        _sg_text(examples.SLAB_ECH_90GHZ, rel="1.e-12", nstep="10"))
+    cfg = dataclasses.replace(cfg, max_substeps=2)
+    res = _trace(cfg, params, v0, st, pwr)
+    flags = np.asarray(res.stop_flag)
+    assert (flags == int(StopCode.ODE_TOTAL_ERROR)).all(), flags

@@ -28,7 +28,10 @@ def pipeline(tmp_path_factory):
 
     wd = tmp_path_factory.mktemp("run_io")
     rays_in = wd / "rays.in"
-    rays_in.write_text(examples.SLAB_ECH_90GHZ)
+    # write_formatted_ray_files on: the same run also exercises the
+    # per-step formatted stream (check_save.f90:152-154)
+    rays_in.write_text(examples.SLAB_ECH_90GHZ.replace(
+        " verbosity=0,", " verbosity=0,\n write_formatted_ray_files=.true.,"))
     cwd = os.getcwd()
     os.chdir(wd)
     try:
@@ -79,6 +82,54 @@ def test_reference_plotter_runs_on_our_netcdf(pipeline):
         f"stderr:\n{proc.stderr[-2000:]}")
     pdf = wd / f"ray_plots.{out['cfg'].run_label}.pdf"
     assert pdf.exists() and pdf.stat().st_size > 1000
+
+
+def test_formatted_ray_files_roundtrip(pipeline):
+    """write_formatted_ray_files=.true. -> ray_out/ray_list.<label> in the
+    reference's list-directed layout (check_save.f90:152-154,
+    ray_tracing.f90:280-286), readable by the legacy stream reader analog
+    (post_processing_m.f90:292-361)."""
+    import numpy as np
+
+    from rays_tpu.results.ascii import read_ray_data
+
+    wd, out = pipeline
+    label = out["cfg"].run_label
+    assert (wd / f"ray_out.{label}").exists()
+    assert (wd / f"ray_list.{label}").exists()
+
+    d = read_ray_data(label, directory=str(wd))
+    res = out["results"]
+    np.testing.assert_array_equal(d["npoints"], np.asarray(res.npoints))
+    nray = d["npoints"].shape[0]
+    rv = np.asarray(res.ray_vec)
+    for ir in range(nray):
+        n = int(d["npoints"][ir])
+        np.testing.assert_allclose(d["v_vec"][ir, :n], rv[ir, :n], rtol=1e-15)
+        # s column is the outer integration grid j*ds
+        np.testing.assert_allclose(
+            d["s_vec"][ir, :n], np.arange(n) * 5.0e-11, rtol=1e-12)
+    np.testing.assert_allclose(d["end_residuals"],
+                               np.asarray(res.end_residuals, np.float64),
+                               rtol=1e-6)
+    assert d["ray_stop_flag"][0] == "nstep_>_nstep_max"
+
+
+def test_truncated_ray_out_survives(pipeline, tmp_path):
+    """Crash forensics: a ray_out truncated mid-stream (as a crashed run
+    leaves it) still reads, with npoints clamped to what exists."""
+    import shutil
+
+    from rays_tpu.results.ascii import read_ray_data
+
+    wd, out = pipeline
+    label = out["cfg"].run_label
+    shutil.copy(wd / f"ray_list.{label}", tmp_path / f"ray_list.{label}")
+    lines = (wd / f"ray_out.{label}").read_text().splitlines(keepends=True)
+    (tmp_path / f"ray_out.{label}").write_text("".join(lines[: len(lines) // 2]))
+    d = read_ray_data(label, directory=str(tmp_path))
+    assert d["npoints"].sum() == len(lines) // 2
+    assert (d["npoints"] <= d["npoints_declared"]).all()
 
 
 def test_deposition_registry_covers_geometries():

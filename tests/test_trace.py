@@ -114,6 +114,14 @@ def test_netcdf_roundtrip(slab_results, tmp_path):
     flag0 = b"".join(data["ray_stop_flag"][0]).decode().strip()
     assert flag0 == " nstep > nstep_max".strip()
 
+    # write -> read -> flags equal: the file-based post-processing path must
+    # see the same stop taxonomy as in-process (ray_results_m.f90:253-363)
+    from rays_tpu.post.process import load_results_nc
+
+    loaded = load_results_nc(path)
+    np.testing.assert_array_equal(np.asarray(loaded.stop_flag),
+                                  np.asarray(res.stop_flag))
+
 
 def test_sharded_trace_multidevice(slab):
     """Rays sharded over the device mesh produce identical results."""
