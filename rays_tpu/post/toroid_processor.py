@@ -171,6 +171,14 @@ def write_graphics_description(cfg, params,
         f.write(f" scale_k_vec = {scale_k_vec}\n")
         f.write(f" k_vec_base_length = {k_vec_base_length}\n")
         f.write(f" set_XY_lim = {set_xy_lim}\n")
+        # plasma boundary point lists, whitespace-delimited on one line
+        # (dict_variable_to_list_of_floats in the reference's
+        # simple_file_editing_functions.py:134; plotted at
+        # plot_RAYS_axisym_toroid.py:287-295)
+        f.write(" R_boundary = "
+                + " ".join(f"{v:.8g}" for v in rb) + "\n")
+        f.write(" Z_boundary = "
+                + " ".join(f"{v:.8g}" for v in zb) + "\n")
         if cfg.equilib_model == "solovev":
             f.write(f" rmaj = {float(params.eq.rmaj)}\n")
             f.write(f" kappa = {float(params.eq.kappa)}\n")

@@ -150,7 +150,7 @@ def write_formatted_ray_files(cfg, results, directory=".", run_label=None,
             f"{float(v):.17g}" for v in np.asarray(results.end_residuals))
             + "\n")
         f.write(" " + " ".join(
-            flag_string(int(s)).replace(" ", "_") or "OK"
+            flag_string(int(s)).strip().replace(" ", "_") or "OK"
             for s in np.asarray(results.stop_flag)) + "\n")
     return out_path, list_path
 

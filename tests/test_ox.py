@@ -87,7 +87,10 @@ def test_conv_coeff_matches_numpy(ox_case):
         got = float(ox_conversion._conv_coeff(cfg, params, x_max, k_max, x_cut))
         want = math.exp(-math.pi * a["k0"] * a["L"]
                         * (F * (abs(nz) - a["n_crit"]) ** 2 + G * ny**2))
-        np.testing.assert_allclose(got, want, rtol=1e-8,
+        # rtol: the device's host-precomputed alpha/gamma coefficients agree
+        # with the raw constants to ~1e-7 relative; the ~20 exponent
+        # amplifies that into the value
+        np.testing.assert_allclose(got, want, rtol=2e-5,
                                    err_msg=f"nz={nz} ny={ny}")
 
     # optimal launch (nz = n_crit, ny = 0) converts fully
