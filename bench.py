@@ -2,15 +2,15 @@
 analytic and spline geometries, scan and fused-Pallas paths.
 
 Prints ONE JSON line.  The headline metric is the f32 forward trace through
-the production dispatch (trace_rays: fused Pallas kernel for the qualifying
-slab config, tracing/fused_slab.py); `extra` carries:
+the production dispatch (the faster of the XLA scan and the fused Pallas
+kernel — the scan, on the current Mosaic toolchain); `extra` carries:
 
   * the XLA-scan forward in both precisions (f32 production, f64 parity),
   * the fused-kernel throughput and its speedup over the scan,
   * forward+adjoint throughput in both precisions (rematerialized scan),
-  * an honest FLOP estimate: XLA's cost_analysis does NOT multiply the
-    scan body by its trip count, so per-step flops are measured as the
-    delta between 1-step and 2-step compiles and extrapolated,
+  * an honest FLOP estimate: XLA's cost_analysis reports a while-loop body
+    ONCE regardless of trip count, so per-ray-step FLOPs are counted from
+    the jaxpr of one RK4 step + residual check and multiplied out,
   * the BASELINE.md headline experiment: 1e5 rays with full adjoint,
     wall-clock vs the pinned single-core Fortran estimate for 100 rays,
   * a spline (gather-bound) geometry: the MPEX mirror example traced at
@@ -70,18 +70,54 @@ def _time(fn, *args, n_rep=3):
     return (time.perf_counter() - t0) / n_rep, out
 
 
-def _scan_flops_per_batch(cfg, params, v0, status0, pwr):
-    """Honest FLOP count for the full forward batch: XLA's cost_analysis
-    reports the scan BODY once, not body x trip count, so measure the
-    1-step -> 2-step delta and extrapolate linearly."""
-    fl = {}
-    for n in (1, 2):
-        c = dataclasses.replace(cfg, nstep_max=n)
-        t = jax.jit(lambda p, v, s, w, c=c: trace_mod.trace_batch(c, p, v, s, w))
-        cost = t.lower(params, v0, status0, pwr).compile().cost_analysis()
-        fl[n] = float(cost.get("flops", 0.0))
-    per_step = fl[2] - fl[1]
-    return fl[1] + (cfg.nstep_max - 1) * per_step, per_step
+_ARITH_PRIMS = {
+    "add", "sub", "mul", "div", "neg", "max", "min", "pow", "integer_pow",
+    "sqrt", "rsqrt", "exp", "log", "abs", "sign", "floor", "ceil", "round",
+    "select_n", "clamp", "erf", "tanh", "logistic", "dot_general",
+    "reduce_sum", "reduce_max", "reduce_min", "reduce_prod", "cumsum",
+    "atan2", "sin", "cos", "expm1", "log1p", "square",
+}
+
+
+def _jaxpr_flops(jaxpr) -> float:
+    """Arithmetic-op count of a jaxpr, elements x ops, recursing into
+    sub-jaxprs (pjit/custom_jvp/scan bodies x their trip counts where
+    known).  XLA's own cost_analysis cannot be used here: it reports a
+    while-loop body ONCE, independent of trip count, so the scan tracer's
+    FLOPs come out ~nstep_max too small (the round-2 bug)."""
+    import numpy as _np
+
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        mult = 1.0
+        sub = []
+        for k, v in eqn.params.items():
+            if hasattr(v, "jaxpr"):
+                sub.append(v.jaxpr if hasattr(v.jaxpr, "eqns") else v)
+            elif isinstance(v, (list, tuple)):
+                sub.extend(x.jaxpr for x in v if hasattr(x, "jaxpr"))
+        if eqn.primitive.name == "scan":
+            mult = float(eqn.params.get("length", 1))
+        if sub:
+            total += mult * sum(_jaxpr_flops(s) for s in sub)
+        if eqn.primitive.name in _ARITH_PRIMS:
+            out = eqn.outvars[0].aval
+            total += float(_np.prod(out.shape)) if out.shape else 1.0
+    return total
+
+
+def _step_flops(cfg, params, v0):
+    """FLOPs per ray per outer step: jaxpr op count of one RK4 step + the
+    check_save monitor on a single ray vector."""
+    from rays_tpu.tracing import rhs as rhs_mod, rk4
+
+    v = v0[0]
+    h = jnp.zeros((), v.dtype)
+    step_jx = jax.make_jaxpr(
+        lambda vv: rk4.rk4_step(cfg, params, jnp.zeros((), v.dtype), vv, h))(v)
+    check_jx = jax.make_jaxpr(
+        lambda vv: rhs_mod.check_save(cfg, params, vv))(v)
+    return _jaxpr_flops(step_jx.jaxpr) + _jaxpr_flops(check_jx.jaxpr)
 
 
 def bench_slab(extra):
@@ -104,14 +140,19 @@ def bench_slab(extra):
 
     # honest per-batch FLOPs (f32) and implied utilization
     try:
-        flops, per_step = _scan_flops_per_batch(cfg, p32, v32, status0, w32)
+        per_ray_step = _step_flops(cfg, p32, v32)
+        flops = per_ray_step * N_RAYS * N_STEPS
+        extra["est_flops_per_ray_step"] = round(per_ray_step, 1)
         extra["est_flops_per_batch"] = flops
-        extra["est_flops_per_ray_step"] = round(per_step / N_RAYS, 1)
         extra["flops_per_sec_f32"] = round(flops / fwd_times["f32"], 1)
         extra["mfu_f32_vs_bf16_peak"] = round(
-            flops / fwd_times["f32"] / PEAK_FLOPS_BF16, 5)
-    except Exception as e:  # noqa: BLE001  (cost analysis is best-effort)
-        extra["flops_note"] = f"cost analysis unavailable: {e}"
+            flops / fwd_times["f32"] / PEAK_FLOPS_BF16, 6)
+        # the meaningful roofline for this elementwise workload is the VPU:
+        # 8x128 lanes x ~940 MHz x 2 (fma) ~ 1.9 TFLOP/s f32
+        extra["utilization_vs_vpu_f32_est"] = round(
+            flops / fwd_times["f32"] / 1.9e12, 4)
+    except Exception as e:  # noqa: BLE001  (estimate is best-effort)
+        extra["flops_note"] = f"flop estimate unavailable: {e}"
 
     # --- fused Pallas kernel (the production f32 dispatch) ---
     fused_sec = None
@@ -151,7 +192,10 @@ def bench_slab(extra):
     extra["headline_chips_needed_at_this_rate"] = max(
         1, int(-(-sec_head // HEADLINE_BUDGET_S)))
 
-    best = fused_sec if fused_sec is not None else fwd_times["f32"]
+    # production dispatch = the faster path (the XLA scan on the current
+    # Mosaic toolchain; see trace_rays docstring — the fused number is
+    # reported alongside for honesty)
+    best = min(t for t in (fwd_times["f32"], fused_sec) if t is not None)
     return N_RAYS / best, best
 
 

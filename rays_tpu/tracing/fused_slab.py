@@ -1,14 +1,21 @@
 """Fused Pallas trace kernel: the ENTIRE ray trace in one TPU kernel.
 
-Performance rationale: the production scan path (tracing/trace.py) executes
-~nstep XLA loop iterations, each reading and writing the (B, nv) ray state
-through HBM plus per-op dispatch overhead — at 32k f32 rays the state is
-under 1 MB, which fits comfortably in VMEM.  This kernel keeps every state
-component in VMEM scratch for the whole trajectory (the step axis is the
-second grid dimension, which TPU executes sequentially): one kernel launch
-per batch, zero HBM traffic between steps.  Measured fused-vs-scan numbers
-are recorded by bench.py (rays_per_s_fused_f32 / fused_speedup_vs_scan in
-BENCH_r03).
+Design: the whole trajectory runs in ONE kernel — ray state lives in VMEM
+scratch for all nstep_max steps (the step axis is the second grid
+dimension, which TPU executes sequentially), zero HBM traffic between
+steps.
+
+Measured reality (v5e, BENCH_r03): the XLA scan is ~16x FASTER on the 32k
+ray batch (~400k vs ~26k rays/s).  The scan's while-loop body is fused and
+pipelined by XLA at ~3.4 cycles/VREG-op; Mosaic schedules this ~1.4k-op
+sequential body far less efficiently, and widening the block (more rays
+per grid step) does not recover it.  HBM traffic was never the scan's
+bottleneck (state round-trip is ~1 GB per 500-step batch, ~1 ms of
+bandwidth).  The kernel therefore ships as a NON-DEFAULT path
+(cfg.fused_kernel='on'): it is the more accurate f32 engine — its fully
+fused arithmetic lands ~7x closer to the f64 truth than the f32 scan
+(tests/test_fused.py) — and a ready vehicle for toolchains where the
+Mosaic scheduling balance flips.
 
 Scope (deliberate): the slab geometry with the analytic profile models,
 cold dispersion, no damping — exactly the reference's headline benchmark

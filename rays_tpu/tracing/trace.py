@@ -57,31 +57,43 @@ def get_step_fn(cfg):
 
 def trace_rays(cfg, params, v0, status0, pwr_wt) -> RayResults:
     """Driver-level tracer dispatch (the analog of the reference's
-    trace_rays, ray_tracing.f90:1): rides the fused Pallas kernel
-    (tracing/fused_slab.py) when the run qualifies — f32 batch, analytic
-    slab, RK4, no damping, summaries only — else jits the XLA scan.
+    trace_rays, ray_tracing.f90:1).
 
-    Must be called OUTSIDE jit: the fused path bakes run parameters into
-    the kernel as compile-time constants.  Inside jitted code (adjoints,
-    sharded tracers) call trace_batch directly.
+    Paths:
+      * the jitted XLA scan (trace_batch) — the production path;
+      * the fused whole-trajectory Pallas kernel (tracing/fused_slab.py)
+        on ``cfg.fused_kernel='on'`` for qualifying runs (f32 batch,
+        analytic slab, RK4, no damping, summaries only, outside jit).
+
+    Measured on the v5e (BENCH_r03): the XLA scan runs the 32k-ray slab
+    batch at ~400k rays/s (~3.4 cycles per vector-register op — the
+    while-loop body is fully fused and pipelined by XLA), while the Pallas
+    kernel reaches only ~26k rays/s: Mosaic schedules this ~1.4k-op
+    sequential body an order of magnitude less efficiently.  So 'auto'
+    selects the SCAN; the kernel remains available (and is the more
+    accurate f32 path — see tests/test_fused.py) for toolchains where the
+    balance flips.
+
+    Must be called OUTSIDE jit when the fused path may engage: the kernel
+    bakes run parameters in as compile-time constants.  Inside jitted code
+    (adjoints, sharded tracers) call trace_batch directly.
     """
     mode = getattr(cfg, "fused_kernel", "auto")
     if mode not in ("auto", "on", "off"):
         raise ValueError(f"invalid fused_kernel mode {mode!r}")
-    if mode != "off":
+    if mode == "on":
         from rays_tpu.tracing import fused_slab
 
         qualifies = (fused_slab.supported(cfg)
                      and v0.dtype == jnp.float32
                      and not isinstance(v0, jax.core.Tracer))
-        if mode == "on" and not qualifies:
+        if not qualifies:
             raise ValueError(
                 "fused_kernel='on' but the run does not qualify "
                 "(needs f32 + analytic slab + RK4 + no damping + "
                 "save_trajectory=False, outside jit)")
-        if qualifies:
-            return fused_slab.trace_batch_fused(cfg, params, v0, status0,
-                                                pwr_wt)
+        return fused_slab.trace_batch_fused(cfg, params, v0, status0,
+                                            pwr_wt)
     tracer = jax.jit(
         lambda p, v, st, w: trace_batch(cfg, p, v, st, w))
     return tracer(params, v0, status0, pwr_wt)
