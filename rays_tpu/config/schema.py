@@ -259,7 +259,8 @@ def _multiple_mirror_from_namelist(nml, ns, input_dir="."):
         raise ValueError("multiple_mirror needs mirror_field_NC_file")
     if not os.path.isabs(fname):
         fname = os.path.join(input_dir, fname)
-    br_sp, bz_sp, aphi_sp, aphi_lufs, box = mm.load_field_file(fname)
+    (br_sp, bz_sp, aphi_sp, aphi_lufs, box,
+     field_cells) = mm.load_field_file(fname)
 
     ne_knots = te_knots = ti_knots = jnp.zeros((2, 4))
     if static.density_prof_model == "density_spline_interp":
@@ -290,6 +291,7 @@ def _multiple_mirror_from_namelist(nml, ns, input_dir="."):
         t_scrape_off=_get(g, "t_scrape_off", 0.0),
         te_knots=te_knots, ti_knots=ti_knots,
         box_rmax=box[0], box_zmin=box[1], box_zmax=box[2],
+        field_cells=field_cells,
     )
     return static, p
 

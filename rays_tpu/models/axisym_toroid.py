@@ -63,6 +63,10 @@ class EqdskMagParams(NamedTuple):
     rho_spline: Any = None      # Spline1D of rho(psiN)
     tflux_spline: Any = None    # Spline1D of toroidal flux(psiN), unnormalized
     psin_rho_spline: Any = None  # Spline1D of psiN(rho)
+    # per-cell coefficient form of psi (ops/splines.CellSpline2D): value +
+    # first derivatives from ONE gather instead of 16 per table — the
+    # production eval path; None falls back to eval_2d_fp
+    psi_cells: Any = None
 
 
 class EqdskLinMagParams(NamedTuple):
@@ -159,7 +163,11 @@ def magnetics(static: AxisymToroidStatic, p: AxisymToroidParams, rvec):
         br, bz, bphi = solovev_mod.b_cylindrical(sv, rvec)
         psi, _, psiN, _ = solovev_mod.psi(sv, rvec)
     elif static.magnetics_model == "eqdsk_magnetics_spline_interp":
-        psi, psi_r, psi_z = splines.eval_2d_fp(p.mag.psi_spline, r, z)
+        if p.mag.psi_cells is not None:
+            fv, fr, fz = splines.eval_cell_2d(p.mag.psi_cells, r, z)
+            psi, psi_r, psi_z = fv[0], fr[0], fz[0]
+        else:
+            psi, psi_r, psi_z = splines.eval_2d_fp(p.mag.psi_spline, r, z)
         rbphi = splines.eval_1d(p.mag.rbphi_spline, r)
         br = psi_z / r
         bz = -psi_r / r
@@ -393,7 +401,9 @@ def build_eqdsk_mag_params(path) -> tuple:
     return EqdskMagParams(psi_spline=psi_spline, rbphi_spline=rbphi_spline,
                           psib=jnp.asarray(psib), q_spline=q_spline,
                           rho_spline=rho_spline, tflux_spline=tflux_spline,
-                          psin_rho_spline=psin_rho_spline), g
+                          psin_rho_spline=psin_rho_spline,
+                          psi_cells=splines.build_cell_spline_2d(
+                              [psi_spline])), g
 
 
 base.register_eq_model("axisym_toroid", sys.modules[__name__])

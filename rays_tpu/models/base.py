@@ -91,10 +91,18 @@ def equilibrium(cfg, params, x) -> EqPoint:
     """
     model = get_eq_model(cfg.equilib_model)
 
-    def f(xx):
-        return model.fields(cfg.eq_static, params.eq, params.species, xx)
+    if (hasattr(model, "fields_and_jac")
+            and model.supports_analytic_jac(cfg.eq_static, params.eq)):
+        # model-provided closed-form jacobian (e.g. spline geometries: one
+        # coefficient gather yields values + derivatives; the generic
+        # jacfwd below replays the gathers once per tangent)
+        (bvec, ns, ts), (jb, jn, jt) = model.fields_and_jac(
+            cfg.eq_static, params.eq, params.species, x)
+    else:
+        def f(xx):
+            return model.fields(cfg.eq_static, params.eq, params.species, xx)
 
-    (bvec, ns, ts), (jb, jn, jt) = value_and_jacfwd(f, x)
+        (bvec, ns, ts), (jb, jn, jt) = value_and_jacfwd(f, x)
     err = _combine_err(model.geom_err(cfg.eq_static, params.eq, x), ns, ts)
     # jb[j, i] = dB_j/dx_i  ->  gradb[i, j] convention of the reference
     raw = RawEq(bvec=bvec, gradb=jb.T, ns=ns, gradns=jn, ts=ts, gradts=jt, err=err)

@@ -150,6 +150,80 @@ def eval_2d(sp: Spline2D, x, y):
     return _local(g0, g1, h0, h1, u, sp.dx)
 
 
+class CellSpline2D(NamedTuple):
+    """Per-cell bicubic coefficient form of K stacked Spline2Ds on one grid.
+
+    TPU rationale: `eval_2d` costs 16 scalar gathers per point per field —
+    the dominant cost of spline-geometry tracing (measured ~4 ms per 8k
+    points per field on a v5e, over half the whole ray RHS).  Folding
+    (F, Mx, My, Mxy) into per-cell polynomial coefficients and stacking all
+    K fields makes evaluation ONE gather of a contiguous (K, 4, 4) block
+    per point, with values AND first derivatives coming from the same
+    fetched coefficients.  Coefficients are linear in the knot values
+    (built with jnp), so knot-value adjoints flow exactly.
+    """
+
+    x0: Any
+    dx: Any
+    y0: Any
+    dy: Any
+    cells: Any   # (nxm, nym, K, 4, 4): axes (y-power q, x-power p)
+
+
+def _seg_coef(fi, fi1, mi, mi1, h):
+    """Cubic-segment monomial coefficients [a0..a3] in the local coordinate
+    u in [0,1], stacked on a NEW last axis, from endpoint values/2nd derivs:
+    f(u) = fi(1-u) + fi1 u + h^2/6 [((1-u)^3-(1-u)) mi + (u^3-u) mi1]."""
+    c = h * h / 6.0
+    return jnp.stack([
+        fi,
+        (fi1 - fi) + c * (-2.0 * mi - mi1),
+        3.0 * c * mi,
+        c * (mi1 - mi),
+    ], axis=-1)
+
+
+def build_cell_spline_2d(sps) -> CellSpline2D:
+    """Fuse Spline2Ds (same grid) into one per-cell coefficient table."""
+    sps = list(sps)
+    sp0 = sps[0]
+    cells = []
+    for sp in sps:
+        F, Mx, My, Mxy = sp.f, sp.mx, sp.my, sp.mxy
+        # along y first: value/fxx segment coefficients, (nx, nym, 4q)
+        gy = _seg_coef(F[:, :-1], F[:, 1:], My[:, :-1], My[:, 1:], sp.dy)
+        hy = _seg_coef(Mx[:, :-1], Mx[:, 1:], Mxy[:, :-1], Mxy[:, 1:], sp.dy)
+        # then along x: (nxm, nym, 4q, 4p)
+        cells.append(_seg_coef(gy[:-1], gy[1:], hy[:-1], hy[1:], sp.dx))
+    return CellSpline2D(x0=sp0.x0, dx=sp0.dx, y0=sp0.y0, dy=sp0.dy,
+                        cells=jnp.stack(cells, axis=2))
+
+
+def eval_cell_2d(cs: CellSpline2D, x, y):
+    """(f, fx, fy), each (K,), at one point — a single coefficient gather.
+    Clamped-cell extrapolation outside the grid like eval_2d."""
+    nxm, nym = cs.cells.shape[0], cs.cells.shape[1]
+    tx = (x - cs.x0) / cs.dx
+    ty = (y - cs.y0) / cs.dy
+    i = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, nxm - 1)
+    j = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, nym - 1)
+    u = tx - i.astype(tx.dtype)
+    v = ty - j.astype(ty.dtype)
+
+    c = cs.cells[i, j]                               # (K, 4q, 4p)
+    one = jnp.ones_like(u)
+    zero = jnp.zeros_like(u)
+    up = jnp.stack([one, u, u * u, u * u * u], axis=-1)
+    vq = jnp.stack([one, v, v * v, v * v * v], axis=-1)
+    dup = jnp.stack([zero, one, 2.0 * u, 3.0 * u * u], axis=-1)
+    dvq = jnp.stack([zero, one, 2.0 * v, 3.0 * v * v], axis=-1)
+
+    f = jnp.einsum("kqp,p,q->k", c, up, vq)
+    fx = jnp.einsum("kqp,p,q->k", c, dup, vq) / cs.dx
+    fy = jnp.einsum("kqp,p,q->k", c, up, dvq) / cs.dy
+    return f, fx, fy
+
+
 def eval_2d_fp(sp: Spline2D, x, y):
     """(f, df/dx, df/dy)."""
     nx, ny = sp.f.shape

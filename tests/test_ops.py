@@ -91,3 +91,91 @@ def test_reference_example_inputs_parse():
         with open(f) as fh:
             groups = parse_namelist(fh.read())
         assert groups, f
+
+
+def test_cell_spline_matches_eval_2d_fp():
+    """CellSpline2D (per-cell coefficient form, one gather) is algebraically
+    identical to the 16-gather eval_2d_fp — values and both derivatives."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rays_tpu.ops import splines
+
+    rng = np.random.default_rng(3)
+    nx, ny = 17, 23
+    f1 = rng.standard_normal((nx, ny))
+    f2 = rng.standard_normal((nx, ny))
+    sp1 = splines.build_spline_2d(0.3, 0.11, -1.0, 0.07, f1)
+    sp2 = splines.build_spline_2d(0.3, 0.11, -1.0, 0.07, f2)
+    cs = splines.build_cell_spline_2d([sp1, sp2])
+
+    xs = rng.uniform(0.3, 0.3 + 0.11 * (nx - 1), 200)
+    ys = rng.uniform(-1.0, -1.0 + 0.07 * (ny - 1), 200)
+
+    @jax.jit
+    def both(xs, ys):
+        old1 = jax.vmap(lambda a, b: splines.eval_2d_fp(sp1, a, b))(xs, ys)
+        old2 = jax.vmap(lambda a, b: splines.eval_2d_fp(sp2, a, b))(xs, ys)
+        new = jax.vmap(lambda a, b: splines.eval_cell_2d(cs, a, b))(xs, ys)
+        return old1, old2, new
+
+    (o1, o1x, o1y), (o2, o2x, o2y), (nf, nfx, nfy) = both(
+        jnp.asarray(xs), jnp.asarray(ys))
+    np.testing.assert_allclose(np.asarray(nf[:, 0]), np.asarray(o1),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(nfx[:, 0]), np.asarray(o1x),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(nfy[:, 0]), np.asarray(o1y),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(nf[:, 1]), np.asarray(o2),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(nfx[:, 1]), np.asarray(o2x),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_mirror_analytic_jacobian_matches_ad():
+    """fields_and_jac (one-gather closed-form chain rule) equals the
+    generic value_and_jacfwd of fields to rounding, on the real MPEX
+    equilibrium."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest as _pytest
+
+    from rays_tpu import run as runner
+    from rays_tpu.core.eq_point import value_and_jacfwd
+    from rays_tpu.models import multiple_mirror as mm
+
+    mpex = ("/root/reference/examples_RAYS/MPEX_examples/"
+            "MPX_2nd_harm_11_rays_nz_delta_d_0.05_psiP_0.05")
+    if not os.path.isdir(mpex):
+        _pytest.skip("MPEX example not available")
+    cwd = os.getcwd()
+    os.chdir(mpex)
+    try:
+        cfg, params, v0, st, pwr = runner.setup("rays.in")
+    finally:
+        os.chdir(cwd)
+    assert mm.supports_analytic_jac(cfg.eq_static, params.eq)
+
+    pts = jnp.asarray(np.asarray(v0[:, 0:3]) + np.array([0.003, 0.001, 0.01]))
+
+    @jax.jit
+    def both(xs):
+        def one(x):
+            an = mm.fields_and_jac(cfg.eq_static, params.eq, params.species, x)
+            ad = value_and_jacfwd(
+                lambda xx: mm.fields(cfg.eq_static, params.eq,
+                                     params.species, xx), x)
+            return an, ad
+
+        return jax.vmap(one)(xs)
+
+    (an_v, an_j), (ad_v, ad_j) = both(pts)
+    for a, b in zip(jax.tree_util.tree_leaves((an_v, an_j)),
+                    jax.tree_util.tree_leaves((ad_v, ad_j))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-11)
