@@ -154,7 +154,16 @@ def bench_slab(extra):
     except Exception as e:  # noqa: BLE001  (estimate is best-effort)
         extra["flops_note"] = f"flop estimate unavailable: {e}"
 
-    # --- fused Pallas kernel (the production f32 dispatch) ---
+    # --- saturated-batch forward (the throughput ceiling; the batch-size
+    # sweep artifact is scripts/run_batch_scan.py -> artifacts/) ---
+    vP, sP, wP = examples.replicate_rays(v0, status0, pwr, 262144)
+    tracer32 = jax.jit(
+        lambda p, v, st, w: trace_mod.trace_batch(cfg, p, v, st, w))
+    secP, _ = _time(tracer32, p32, vP.astype(jnp.float32), sP,
+                    wP.astype(jnp.float32))
+    extra["rays_per_s_forward_f32_peak_batch"] = round(262144 / secP, 1)
+
+    # --- fused Pallas kernel (opt-in path) ---
     fused_sec = None
     try:
         from rays_tpu.tracing import fused_slab
