@@ -301,6 +301,110 @@ def fields(static: AxisymToroidStatic, p: AxisymToroidParams, species, rvec):
     return bvec, ns, ts
 
 
+def _spline_profile_fp(knots, psiN, floor):
+    """(f, df/dpsiN) of _spline_profile — derivative zero in the clipped
+    scrape-off region, matching what AD produces through the clip/where."""
+    sp = splines.Spline1D(
+        x0=jnp.asarray(0.0), dx=jnp.asarray(1.0 / (knots.shape[-1] - 1)),
+        f=knots[0], m=knots[1])
+    inside = psiN <= 1.0
+    in_clip = (psiN >= 0.0) & inside
+    val, der = splines.eval_1d_fp(sp, jnp.clip(psiN, 0.0, 1.0))
+    return (jnp.where(inside, val, floor),
+            jnp.where(in_clip, der, 0.0))
+
+
+def _profile_fp(model, knots, psiN, floor, alpha1, alpha2):
+    if model == "constant":
+        return jnp.ones_like(psiN), jnp.zeros_like(psiN)
+    if model == "zero":
+        return jnp.zeros_like(psiN), jnp.zeros_like(psiN)
+    if model == "parabolic":
+        return profiles.parabolic(psiN, floor, alpha1, alpha2)
+    if model in ("density_spline_interp", "temperature_spline_interp"):
+        return _spline_profile_fp(knots, psiN, floor)
+    raise ValueError(f"axisym_toroid: no analytic derivative for {model}")
+
+
+_ANALYTIC_PROFILES = ("constant", "zero", "parabolic",
+                      "density_spline_interp", "temperature_spline_interp")
+
+
+def supports_analytic_jac(static: AxisymToroidStatic,
+                          p: AxisymToroidParams) -> bool:
+    return (static.magnetics_model == "eqdsk_magnetics_spline_interp"
+            and getattr(p.mag, "psi_cells", None) is not None
+            and static.density_prof_model in _ANALYTIC_PROFILES
+            and all(t in _ANALYTIC_PROFILES
+                    for t in static.temperature_prof_model))
+
+
+def fields_and_jac(static: AxisymToroidStatic, p: AxisymToroidParams,
+                   species, rvec):
+    """Values AND spatial jacobians of (bvec, ns, ts) for the EQDSK-spline
+    backend from ONE psi-coefficient gather (incl. second derivatives) —
+    the analytic fast path used by base.equilibrium.  B = (grad psi x
+    phihat)/R + (R Bphi) phihat / R; gradB needs psi_rr/psi_rz/psi_zz,
+    which come from the same gathered cell coefficients
+    (ops/splines.eval_cell_2d_second).  Layout matches value_and_jacfwd:
+    jb[j, i] = dB_j/dx_i.  Equality with the AD path is rounding-level
+    (unit-tested in tests/test_ops.py)."""
+    assert supports_analytic_jac(static, p)
+    x, y, z = rvec[0], rvec[1], rvec[2]
+    r = jnp.maximum(jnp.sqrt(x**2 + y**2), 1e-12)
+    cx, cy = x / r, y / r
+
+    fv, fr_, fz_, frr, frz, fzz = splines.eval_cell_2d_second(
+        p.mag.psi_cells, r, z)
+    psi, psi_r, psi_z = fv[0], fr_[0], fz_[0]
+    psi_rr, psi_rz, psi_zz = frr[0], frz[0], fzz[0]
+    rbphi, rbphi_r = splines.eval_1d_fp(p.mag.rbphi_spline, r)
+
+    br = psi_z / r
+    bz = -psi_r / r
+    bphi = rbphi / r
+    dbr_dr = psi_rz / r - psi_z / (r * r)
+    dbr_dz = psi_zz / r
+    dbz_dr = -psi_rr / r + psi_r / (r * r)
+    dbz_dz = -psi_rz / r
+    dbphi_dr = rbphi_r / r - rbphi / (r * r)
+
+    zero = jnp.zeros_like(r)
+    drv = jnp.stack([cx, cy, zero])               # dr/dx_i
+    dcx = jnp.stack([(1.0 - cx * cx) / r, -cx * cy / r, zero])
+    dcy = jnp.stack([-cx * cy / r, (1.0 - cy * cy) / r, zero])
+    dbr = dbr_dr * drv + jnp.stack([zero, zero, dbr_dz])
+    dbz = dbz_dr * drv + jnp.stack([zero, zero, dbz_dz])
+    dbphi = dbphi_dr * drv                        # dBphi/dz = 0
+
+    bvec = jnp.stack([br * cx - bphi * cy, br * cy + bphi * cx, bz])
+    jb = jnp.stack([
+        br * dcx + cx * dbr - bphi * dcy - cy * dbphi,
+        br * dcy + cy * dbr + bphi * dcx + cx * dbphi,
+        dbz,
+    ])
+
+    psiN = psi / p.mag.psib
+    dpsin = (psi_r * drv + jnp.stack([zero, zero, psi_z])) / p.mag.psib
+
+    n0s, t0s = species.n0s, species.t0s
+    f, fp = _profile_fp(static.density_prof_model, p.ne_knots, psiN,
+                        p.d_scrape_off, p.alphan1, p.alphan2)
+    ns = n0s * f
+    jn = n0s[:, None] * fp * dpsin[None, :]
+
+    ts_list, jt_list = [], []
+    for i, tm in enumerate(static.temperature_prof_model):
+        ft, ftp = _profile_fp(tm, p.te_knots if i == 0 else p.ti_knots,
+                              psiN, p.t_scrape_off,
+                              p.alphat1[i], p.alphat2[i])
+        ts_list.append(t0s[i] * ft)
+        jt_list.append(t0s[i] * ftp * dpsin)
+    ts = jnp.stack(ts_list)
+    jt = jnp.stack(jt_list)
+    return (bvec, ns, ts), (jb, jn, jt)
+
+
 def geom_err(static: AxisymToroidStatic, p: AxisymToroidParams, rvec):
     """Box + plasma-boundary checks
     (axisym_toroid_eq_m.f90:258-270,291)."""

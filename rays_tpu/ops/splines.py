@@ -224,6 +224,40 @@ def eval_cell_2d(cs: CellSpline2D, x, y):
     return f, fx, fy
 
 
+def eval_cell_2d_second(cs: CellSpline2D, x, y):
+    """(f, fx, fy, fxx, fxy, fyy), each (K,), from the same single gather —
+    for consumers that assemble field jacobians analytically (e.g. the
+    EQDSK toroid's gradB needs psi second derivatives)."""
+    nxm, nym = cs.cells.shape[0], cs.cells.shape[1]
+    tx = (x - cs.x0) / cs.dx
+    ty = (y - cs.y0) / cs.dy
+    i = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, nxm - 1)
+    j = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, nym - 1)
+    u = tx - i.astype(tx.dtype)
+    v = ty - j.astype(ty.dtype)
+
+    c = cs.cells[i, j]
+    one = jnp.ones_like(u)
+    zero = jnp.zeros_like(u)
+    up = jnp.stack([one, u, u * u, u * u * u], axis=-1)
+    vq = jnp.stack([one, v, v * v, v * v * v], axis=-1)
+    dup = jnp.stack([zero, one, 2.0 * u, 3.0 * u * u], axis=-1)
+    dvq = jnp.stack([zero, one, 2.0 * v, 3.0 * v * v], axis=-1)
+    d2up = jnp.stack([zero, zero, 2.0 * one, 6.0 * u], axis=-1)
+    d2vq = jnp.stack([zero, zero, 2.0 * one, 6.0 * v], axis=-1)
+
+    def con(a, b):
+        return jnp.einsum("kqp,p,q->k", c, a, b)
+
+    f = con(up, vq)
+    fx = con(dup, vq) / cs.dx
+    fy = con(up, dvq) / cs.dy
+    fxx = con(d2up, vq) / (cs.dx * cs.dx)
+    fxy = con(dup, dvq) / (cs.dx * cs.dy)
+    fyy = con(up, d2vq) / (cs.dy * cs.dy)
+    return f, fx, fy, fxx, fxy, fyy
+
+
 def eval_2d_fp(sp: Spline2D, x, y):
     """(f, df/dx, df/dy)."""
     nx, ny = sp.f.shape

@@ -179,3 +179,52 @@ def test_mirror_analytic_jacobian_matches_ad():
                     jax.tree_util.tree_leaves((ad_v, ad_j))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-11)
+
+
+def test_axisym_analytic_jacobian_matches_ad():
+    """EQDSK-toroid fields_and_jac (psi second derivatives from the single
+    coefficient gather) equals value_and_jacfwd of fields to rounding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rays_tpu.config import schema
+    from rays_tpu.config.namelist import parse_namelist
+    from rays_tpu.core.eq_point import value_and_jacfwd
+    from rays_tpu.models import axisym_toroid as at
+    from rays_tpu.utils import solovev_2_eqdsk
+    from rays_tpu.utils.eqdsk_io import write_geqdsk
+    from test_axisym import AXISYM_TMPL
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "s.geqdsk")
+        write_geqdsk(path, solovev_2_eqdsk.solovev_geqdsk(
+            rmaj=1.2, kappa=1.5, bphi0=2.2, iota0=0.3, outer_bound=1.55,
+            nrbox=65, nzbox=65))
+        cfg, params = schema.from_namelist(parse_namelist(AXISYM_TMPL.format(
+            MAG="eqdsk_magnetics_spline_interp", EQDSK=path)))
+    assert at.supports_analytic_jac(cfg.eq_static, params.eq)
+
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(np.stack([
+        rng.uniform(0.9, 1.5, 40), rng.uniform(-0.5, 0.5, 40),
+        rng.uniform(-0.4, 0.4, 40)], axis=-1))
+
+    @jax.jit
+    def both(xs):
+        def one(x):
+            an = at.fields_and_jac(cfg.eq_static, params.eq,
+                                   params.species, x)
+            ad = value_and_jacfwd(
+                lambda xx: at.fields(cfg.eq_static, params.eq,
+                                     params.species, xx), x)
+            return an, ad
+
+        return jax.vmap(one)(xs)
+
+    an, ad = both(pts)
+    for a, b in zip(jax.tree_util.tree_leaves(an),
+                    jax.tree_util.tree_leaves(ad)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10)
