@@ -199,28 +199,55 @@ def build_cell_spline_2d(sps) -> CellSpline2D:
                         cells=jnp.stack(cells, axis=2))
 
 
-def eval_cell_2d(cs: CellSpline2D, x, y):
-    """(f, fx, fy), each (K,), at one point — a single coefficient gather.
-    Clamped-cell extrapolation outside the grid like eval_2d."""
-    nxm, nym = cs.cells.shape[0], cs.cells.shape[1]
+def _cell_gather(cs: CellSpline2D, x, y):
+    """Locate the cell and fetch its (K, 4, 4) coefficient block with ONE
+    flat row gather.  The two-index form ``cells[i, j]`` lowers to an XLA
+    gather that runs ~30x slower on TPU than a single-axis row gather of
+    the same bytes (measured 0.70 vs 0.024 ms per 8k points on a v5e), so
+    the cell table is viewed as (nxm*nym, K*16) — a free bitcast, hoisted
+    out of the trace loop — and indexed linearly."""
+    nxm, nym, K = cs.cells.shape[0], cs.cells.shape[1], cs.cells.shape[2]
     tx = (x - cs.x0) / cs.dx
     ty = (y - cs.y0) / cs.dy
     i = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, nxm - 1)
     j = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, nym - 1)
     u = tx - i.astype(tx.dtype)
     v = ty - j.astype(ty.dtype)
+    flat = cs.cells.reshape(nxm * nym, K * 16)
+    # jnp.take, NOT flat[lin]: under vmap, scalar [] indexing batches into
+    # a gather with start_index_map={0,1} (a 2-component start index) that
+    # TPU executes ~6x slower; take's batching rule emits the fast
+    # single-axis row gather (start_index_map={0}).
+    c = jnp.take(flat, i * nym + j, axis=0).reshape(K, 4, 4)   # (K, 4q, 4p)
+    return c, u, v
 
-    c = cs.cells[i, j]                               # (K, 4q, 4p)
+
+def _poly_weights(u, v):
+    """Monomial and derivative weight vectors for one point: each (4,)."""
     one = jnp.ones_like(u)
     zero = jnp.zeros_like(u)
     up = jnp.stack([one, u, u * u, u * u * u], axis=-1)
     vq = jnp.stack([one, v, v * v, v * v * v], axis=-1)
     dup = jnp.stack([zero, one, 2.0 * u, 3.0 * u * u], axis=-1)
     dvq = jnp.stack([zero, one, 2.0 * v, 3.0 * v * v], axis=-1)
+    return up, vq, dup, dvq
 
-    f = jnp.einsum("kqp,p,q->k", c, up, vq)
-    fx = jnp.einsum("kqp,p,q->k", c, dup, vq) / cs.dx
-    fy = jnp.einsum("kqp,p,q->k", c, up, dvq) / cs.dy
+
+def _contract(c, a, b):
+    """sum_{q,p} c[k, q, p] a[p] b[q] as broadcast multiply-reduce.  An
+    einsum here lowers to a tiny batched dot_general under vmap that runs
+    ~5x slower on the TPU VPU than the elementwise form (measured)."""
+    return (c * a[None, None, :] * b[None, :, None]).sum((-1, -2))
+
+
+def eval_cell_2d(cs: CellSpline2D, x, y):
+    """(f, fx, fy), each (K,), at one point — a single coefficient gather.
+    Clamped-cell extrapolation outside the grid like eval_2d."""
+    c, u, v = _cell_gather(cs, x, y)
+    up, vq, dup, dvq = _poly_weights(u, v)
+    f = _contract(c, up, vq)
+    fx = _contract(c, dup, vq) / cs.dx
+    fy = _contract(c, up, dvq) / cs.dy
     return f, fx, fy
 
 
@@ -228,33 +255,19 @@ def eval_cell_2d_second(cs: CellSpline2D, x, y):
     """(f, fx, fy, fxx, fxy, fyy), each (K,), from the same single gather —
     for consumers that assemble field jacobians analytically (e.g. the
     EQDSK toroid's gradB needs psi second derivatives)."""
-    nxm, nym = cs.cells.shape[0], cs.cells.shape[1]
-    tx = (x - cs.x0) / cs.dx
-    ty = (y - cs.y0) / cs.dy
-    i = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, nxm - 1)
-    j = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, nym - 1)
-    u = tx - i.astype(tx.dtype)
-    v = ty - j.astype(ty.dtype)
-
-    c = cs.cells[i, j]
+    c, u, v = _cell_gather(cs, x, y)
+    up, vq, dup, dvq = _poly_weights(u, v)
     one = jnp.ones_like(u)
     zero = jnp.zeros_like(u)
-    up = jnp.stack([one, u, u * u, u * u * u], axis=-1)
-    vq = jnp.stack([one, v, v * v, v * v * v], axis=-1)
-    dup = jnp.stack([zero, one, 2.0 * u, 3.0 * u * u], axis=-1)
-    dvq = jnp.stack([zero, one, 2.0 * v, 3.0 * v * v], axis=-1)
     d2up = jnp.stack([zero, zero, 2.0 * one, 6.0 * u], axis=-1)
     d2vq = jnp.stack([zero, zero, 2.0 * one, 6.0 * v], axis=-1)
 
-    def con(a, b):
-        return jnp.einsum("kqp,p,q->k", c, a, b)
-
-    f = con(up, vq)
-    fx = con(dup, vq) / cs.dx
-    fy = con(up, dvq) / cs.dy
-    fxx = con(d2up, vq) / (cs.dx * cs.dx)
-    fxy = con(dup, dvq) / (cs.dx * cs.dy)
-    fyy = con(up, d2vq) / (cs.dy * cs.dy)
+    f = _contract(c, up, vq)
+    fx = _contract(c, dup, vq) / cs.dx
+    fy = _contract(c, up, dvq) / cs.dy
+    fxx = _contract(c, d2up, vq) / (cs.dx * cs.dx)
+    fxy = _contract(c, dup, dvq) / (cs.dx * cs.dy)
+    fyy = _contract(c, up, d2vq) / (cs.dy * cs.dy)
     return f, fx, fy, fxx, fxy, fyy
 
 
