@@ -143,14 +143,16 @@ def write_radial_profiles(cfg, params, z_reference, n_points=51,
 
 def r_omode_cutoff(cfg, params, z_reference):
     """Radius of the O-mode cutoff alpha_e = 1 at z = z_reference by
-    bisection in r; 0 when no cutoff exists (mirror_processor_m.f90:
-    219-222; the reference brackets [0, r_LUFS], we bracket the full box —
-    the scrape-off density keeps alpha_e < 1 outside the LUFS, so the
-    bracketing test coincides)."""
+    bisection in r; 0 when no cutoff exists.  Matches the reference's
+    bracket [0, r_LUFS at z_reference] (mirror_processor_m.f90:219-222) so
+    a non-monotonic alpha_e(r) — e.g. a hollow density profile — selects
+    the same root; r_LUFS is itself found by bisecting AphiN = 1, falling
+    back to the full box when the LUFS does not cross z_reference."""
+    from rays_tpu.models import multiple_mirror as mm
     from rays_tpu.ops import bisect
     from rays_tpu.wave import dispersion
 
-    r_hi = float(params.eq.box_rmax)
+    r_box = float(params.eq.box_rmax)
 
     def f(r):
         rvec = jnp.stack([r, jnp.zeros_like(r), jnp.asarray(z_reference)])
@@ -158,8 +160,17 @@ def r_omode_cutoff(cfg, params, z_reference):
             cfg, params, rvec, params.rf.omgrf)
         return alpha[0]
 
-    r, ok = jax.jit(
-        lambda: bisect.solve_bisection(f, 1.0, 1e-6, r_hi))()
+    def aphin(r):
+        rvec = jnp.stack([r, jnp.zeros_like(r), jnp.asarray(z_reference)])
+        return mm.magnetics(params.eq, rvec)[2]
+
+    @jax.jit
+    def solve():
+        r_lufs, lufs_ok = bisect.solve_bisection(aphin, 1.0, 1e-6, r_box)
+        r_hi = jnp.where(lufs_ok, r_lufs, r_box)
+        return bisect.solve_bisection(f, 1.0, 1e-6, r_hi)
+
+    r, ok = solve()
     return float(r) if bool(ok) else 0.0
 
 

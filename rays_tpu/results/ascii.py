@@ -26,7 +26,8 @@ def _w(f, name, values):
         f.write(" " + " ".join(f"{float(v):.17g}" for v in arr) + "\n")
 
 
-def write_results_ld(cfg, results, total_trace_time=0.0, path=None):
+def write_results_ld(cfg, results, total_trace_time=0.0, path=None,
+                     ray_trace_time=None):
     nray = int(results.npoints.shape[0])
     npoints = np.asarray(results.npoints)
     nv = int(results.ray_vec.shape[-1])
@@ -44,7 +45,11 @@ def write_results_ld(cfg, results, total_trace_time=0.0, path=None):
         _w(f, "npoints", npoints)
         _w(f, "total_trace_time", [total_trace_time])
         _w(f, "initial_ray_power", results.initial_ray_power)
-        _w(f, "ray_trace_time", np.zeros(nray))
+        # per-ray trace-time attribution, same field both formats
+        # (ray_results_m.f90:50,365-420); callers pass run.ray_trace_times
+        _w(f, "ray_trace_time",
+           np.zeros(nray) if ray_trace_time is None
+           else np.asarray(ray_trace_time, np.float64))
         _w(f, "end_ray_parameter", results.end_ray_parameter)
         _w(f, "end_residuals", results.end_residuals)
         _w(f, "max_residuals", results.max_residuals)
@@ -87,6 +92,7 @@ def read_results_ld(path):
         "dim_v_vector": int(data["dim_v_vector"][0]),
         "npoints": np.asarray([int(v) for v in data["npoints"]]),
         "total_trace_time": float(data["total_trace_time"][0]),
+        "ray_trace_time": farr("ray_trace_time"),
         "initial_ray_power": farr("initial_ray_power"),
         "end_ray_parameter": farr("end_ray_parameter"),
         "end_residuals": farr("end_residuals"),

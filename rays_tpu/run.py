@@ -126,14 +126,24 @@ def run(path, diag=None):
         diag.message("max dispersion residual",
                      float(np.asarray(results.max_residuals).max()),
                      threshold=0)
-    if cfg.write_formatted_ray_files and cfg.save_trajectory:
-        from rays_tpu.results.ascii import write_formatted_ray_files
+    if cfg.write_formatted_ray_files:
+        if not cfg.save_trajectory:
+            msg = ("write_formatted_ray_files=True requires "
+                   "save_trajectory=True; skipping formatted ray files")
+            if diag is not None:
+                diag.message("WARNING", msg, threshold=0)
+            else:
+                import warnings
 
-        out_p, list_p = write_formatted_ray_files(
-            cfg, results, ds=float(params.ode.ds))
-        if diag is not None:
-            diag.message("wrote formatted ray files",
-                         f"{out_p} {list_p}", threshold=0)
+                warnings.warn(msg, stacklevel=2)
+        else:
+            from rays_tpu.results.ascii import write_formatted_ray_files
+
+            out_p, list_p = write_formatted_ray_files(
+                cfg, results, ds=float(params.ode.ds))
+            if diag is not None:
+                diag.message("wrote formatted ray files",
+                             f"{out_p} {list_p}", threshold=0)
     return cfg, results, wall
 
 

@@ -41,14 +41,17 @@ from rays_tpu.wave import dispersion
 
 def eqn_ray(cfg, params, s, v):
     """RHS for a single ray at parameter value s.  Pure; vmap over rays."""
+    eq = base.equilibrium(cfg, params, v[0:3])
+    return _eqn_ray_from_eq(cfg, params, s, v, eq)
+
+
+def _eqn_ray_from_eq(cfg, params, s, v, eq):
+    """Everything in eqn_ray after the equilibrium evaluation (eq is the
+    EqPoint at v[0:3]), split out so eqn_ray_and_check can reuse one eval."""
     dt = v.dtype
-    rvec = v[0:3]
     kvec = v[3:6]
     omgrf, k0 = params.rf.omgrf, params.rf.k0
     tiny = constants.SAFE_TINY
-
-    # the single equilibrium evaluation (eqn_ray.f90:86-102)
-    eq = base.equilibrium(cfg, params, rvec)
     err = eq.err
 
     if getattr(cfg, "ray_deriv_name", "cold") == "autodiff":
@@ -120,10 +123,14 @@ def check_save(cfg, params, v):
     to re-test for infinite group velocity — the RHS of the next step
     performs that check (eqn_ray.f90:133-144).
     """
-    rvec, kvec = v[0:3], v[3:6]
-    k0 = params.rf.k0
-    alpha, gamma, bunit, _, _, err = base.eq_point_light(cfg, params, rvec)
+    alpha, gamma, bunit, _, _, err = base.eq_point_light(cfg, params, v[0:3])
+    return _check_from_point(cfg, params, alpha, gamma, bunit, err, v)
 
+
+def _check_from_point(cfg, params, alpha, gamma, bunit, err, v):
+    """check_save given the already-evaluated plasma state at v[0:3]."""
+    kvec = v[3:6]
+    k0 = params.rf.k0
     k3 = jnp.dot(kvec, bunit)
     k1 = jnp.sqrt(jnp.sum((kvec - k3 * bunit) ** 2))
     resid = dispersion.residual(alpha, gamma, k1 / k0, k3 / k0)
@@ -140,3 +147,20 @@ def check_save(cfg, params, v):
     )
     status = jnp.where(err != 0, err, status)
     return resid, status
+
+
+def eqn_ray_and_check(cfg, params, s, v):
+    """The RHS AND the check_save monitor at the same point, from ONE
+    equilibrium evaluation.  Returns (dvds, rhs_status, resid, check_status).
+
+    This is the production tracer's endpoint evaluation: the reference pays
+    a full equilibrium eval in check_save after each step and another in
+    eqn_ray's first stage of the NEXT step at the same point
+    (check_save.f90:163-235 + eqn_ray.f90:86-102); here the two consumers
+    share the eval and the RHS result is carried into the next step's k1.
+    """
+    eq = base.equilibrium(cfg, params, v[0:3])
+    dvds, rhs_status = _eqn_ray_from_eq(cfg, params, s, v, eq)
+    resid, check_status = _check_from_point(
+        cfg, params, eq.alpha, eq.gamma, eq.bunit, eq.err, v)
+    return dvds, rhs_status, resid, check_status

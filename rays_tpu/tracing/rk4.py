@@ -26,9 +26,17 @@ def rk4_step(cfg, params, s, v, h=None):
     the stepper-state slot ``h`` is unused (RK4 keeps no state between
     outer steps, RK4_ode_m.f90:50-55) and passed through for interface
     uniformity with the adaptive stepper."""
+    f1, st1 = rhs_mod.eqn_ray(cfg, params, s, v)
+    return rk4_step_carried(cfg, params, s, v, h, f1, st1)
+
+
+def rk4_step_carried(cfg, params, s, v, h, f1, st1):
+    """RK4 step with the first stage (f1, st1) = eqn_ray(s, v) supplied by
+    the caller — the production tracer carries it from the previous step's
+    shared endpoint evaluation (rhs.eqn_ray_and_check), cutting the
+    per-step equilibrium evals from 5 to 4."""
     ds = params.ode.ds
     f = lambda ss, vv: rhs_mod.eqn_ray(cfg, params, ss, vv)
-    f1, st1 = f(s, v)
     f2, st2 = f(s + ds / 2.0, v + ds * f1 / 2.0)
     f3, st3 = f(s + ds / 2.0, v + ds * f2 / 2.0)
     f4, st4 = f(s + ds, v + ds * f3)

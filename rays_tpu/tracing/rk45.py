@@ -47,11 +47,14 @@ _MIN_FACTOR = 0.2
 _MAX_FACTOR = 5.0
 
 
-def _dopri_step(f, t, v, h):
-    """One trial DOPRI5 step.  Returns (v5, err_vec, status)."""
-    ks = []
-    status = jnp.int32(StopCode.OK)
-    for i in range(7):
+def _dopri_step(f, t, v, h, k1, k1_st):
+    """One trial DOPRI5 step with the first stage supplied (FSAL: DP5's
+    7th stage is evaluated at (t+h, v5), so an accepted step's k7 IS the
+    next step's k1 — 6 fresh RHS evals per substep instead of 7).
+    Returns (v5, err_vec, status, k7, k7_status)."""
+    ks = [k1]
+    status = k1_st
+    for i in range(1, 7):
         vi = v
         for j, aij in enumerate(_A[i]):
             if aij != 0.0:
@@ -65,17 +68,28 @@ def _dopri_step(f, t, v, h):
         if bi5 != 0.0:
             v5 = v5 + h * bi5 * ki
         err = err + h * (bi5 - bi4) * ki
-    return v5, err, status
+    return v5, err, status, ks[6], status
 
 
 def rk45_step(cfg, params, s, v, h0):
-    """Advance one outer step ds adaptively.  Returns
+    """Advance one outer step ds adaptively.  Returns (v_new, status, h_next)."""
+    f1, st1 = rhs_mod.eqn_ray(cfg, params, s, v)
+    return rk45_step_carried(cfg, params, s, v, h0, f1, st1)
+
+
+def rk45_step_carried(cfg, params, s, v, h0, f1, st1):
+    """Advance one outer step ds adaptively, with (f1, st1) = eqn_ray(s, v)
+    supplied by the caller (the production tracer carries it from the
+    previous step's shared endpoint evaluation).  Returns
     (v_new, status, h_next).
 
     ``h0`` is the converged step size carried over from the previous outer
     step (the SG suite likewise keeps its step/order state across outer
     steps, SG_ode_m.f90:73-85 resets only at ray start) — re-seeding h = ds
     every outer step would waste rejected substeps on stiff stretches.
+    Within the substep loop the first stage rides FSAL: an accepted
+    substep's k7 (evaluated at the new point) becomes the next substep's
+    k1; a rejected substep reuses its k1 unchanged.
     """
     dt = v.dtype
     ds = params.ode.ds
@@ -88,13 +102,13 @@ def rk45_step(cfg, params, s, v, h0):
     done_tol = jnp.abs(ds) * 1e-10
 
     def cond(carry):
-        t, _, _, status, n_sub = carry
+        t, _, _, _, _, status, n_sub = carry
         return (sout - t > done_tol) & (status == 0) & (n_sub < cfg.max_substeps)
 
     def body(carry):
-        t, vv, h, status, n_sub = carry
+        t, vv, h, k1, k1_st, status, n_sub = carry
         h_try = jnp.minimum(h, sout - t)
-        v5, err, rhs_status = _dopri_step(f, t, vv, h_try)
+        v5, err, rhs_status, k7, k7_st = _dopri_step(f, t, vv, h_try, k1, k1_st)
 
         tol = ab + rel * jnp.maximum(jnp.abs(vv), jnp.abs(v5))
         err_ratio = jnp.max(jnp.abs(err) / tol)
@@ -102,6 +116,8 @@ def rk45_step(cfg, params, s, v, h0):
 
         t_new = jnp.where(accept, t + h_try, t)
         v_new = jnp.where(accept, v5, vv)
+        k1_new = jnp.where(accept, k7, k1)
+        k1_st_new = jnp.where(accept, k7_st, k1_st)
 
         safe_ratio = jnp.maximum(err_ratio, constants.SAFE_TINY)
         factor = jnp.clip(_SAFETY * safe_ratio ** (-0.2), _MIN_FACTOR, _MAX_FACTOR)
@@ -112,11 +128,11 @@ def rk45_step(cfg, params, s, v, h0):
             (~accept) & (h_try <= h_min) & (status == 0),
             jnp.int32(StopCode.ODE_TOTAL_ERROR), status,
         )
-        return t_new, v_new, h_new, status, n_sub + 1
+        return t_new, v_new, h_new, k1_new, k1_st_new, status, n_sub + 1
 
     h_start = jnp.clip(h0, h_min, jnp.abs(ds))
-    init = (s, v, h_start, jnp.int32(StopCode.OK), jnp.int32(0))
-    t_f, v_f, h_f, status, _ = jax.lax.while_loop(cond, body, init)
+    init = (s, v, h_start, f1, st1, jnp.int32(StopCode.OK), jnp.int32(0))
+    t_f, v_f, h_f, _, _, status, _ = jax.lax.while_loop(cond, body, init)
     # substep budget exhausted without reaching sout -> tolerance failure
     status = jnp.where(
         (status == 0) & (sout - t_f > done_tol),

@@ -70,13 +70,20 @@ def flag_string(code: int) -> str:
 
 
 _STRING_TO_CODE = {s.strip(): int(c) for c, s in STOP_FLAG_STRINGS.items()}
+# token-serialized forms (the LD / ray_list writers replace spaces with
+# underscores so flags survive list-directed tokenization, and write the
+# empty OK flag as 'OK') — fold both so every serialization round-trips
+_STRING_TO_CODE.update(
+    {s.strip().replace(" ", "_"): int(c) for c, s in STOP_FLAG_STRINGS.items()})
+_STRING_TO_CODE["OK"] = 0
 
 
 def flag_code(flag: str) -> int:
     """Inverse of flag_string: parse a stop-flag string (as stored in a
-    results file, reference ray_results_m.f90:56,253-363) back to the int
-    code.  Unknown strings map to -1 so a file from a newer/older writer
-    degrades loudly rather than silently to OK."""
+    results file, reference ray_results_m.f90:56,253-363 — or its
+    underscore-folded token form from the LD/ray_list writers) back to the
+    int code.  Unknown strings map to -1 so a file from a newer/older
+    writer degrades loudly rather than silently to OK."""
     s = flag.strip()
     if s in _STRING_TO_CODE:
         return _STRING_TO_CODE[s]

@@ -20,6 +20,7 @@ recorded — same as the reference, which exits `trajectory` before the
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -52,6 +53,16 @@ def get_step_fn(cfg):
     if cfg.ode_solver_name == "SG_ODE":
         # TPU-native adaptive equivalent of the Shampine-Gordon suite
         return rk45.rk45_step
+    raise ValueError(f"invalid ode solver {cfg.ode_solver_name}")
+
+
+def get_carried_step_fn(cfg):
+    """Stepper taking (s, v, h, f1, st1) with the first stage supplied from
+    the previous step's shared endpoint evaluation."""
+    if cfg.ode_solver_name == "RK4_ODE":
+        return rk4.rk4_step_carried
+    if cfg.ode_solver_name == "SG_ODE":
+        return rk45.rk45_step_carried
     raise ValueError(f"invalid ode solver {cfg.ode_solver_name}")
 
 
@@ -94,29 +105,43 @@ def trace_rays(cfg, params, v0, status0, pwr_wt) -> RayResults:
                 "save_trajectory=False, outside jit)")
         return fused_slab.trace_batch_fused(cfg, params, v0, status0,
                                             pwr_wt)
-    tracer = jax.jit(
-        lambda p, v, st, w: trace_batch(cfg, p, v, st, w))
-    return tracer(params, v0, status0, pwr_wt)
+    return _jitted_tracer(cfg)(params, v0, status0, pwr_wt)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_tracer(cfg):
+    """Per-cfg compiled tracer: repeat trace_rays calls (scans, iterative
+    workflows) reuse the executable instead of retracing each time."""
+    return jax.jit(lambda p, v, st, w: trace_batch(cfg, p, v, st, w))
 
 
 def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
     """Trace a batch of rays.  v0: (B, nv); status0: (B,) int32 (nonzero
-    entries — e.g. padding rays — never start); pwr_wt: (B,)."""
-    step_fn = get_step_fn(cfg)
+    entries — e.g. padding rays — never start); pwr_wt: (B,).
+
+    The scan carries (f1, st1) = eqn_ray at the current point: the endpoint
+    evaluation that feeds check_save also supplies the next step's first
+    stage (rhs.eqn_ray_and_check), so each outer step pays 4 equilibrium
+    evaluations instead of the reference's 5 (check_save.f90 re-evaluates
+    what eqn_ray's next k1 recomputes)."""
+    step_fn = get_carried_step_fn(cfg)
     ds, s_max = params.ode.ds, params.ode.s_max
 
-    check_v = jax.vmap(lambda v: rhs_mod.check_save(cfg, params, v))
-    step_v = jax.vmap(lambda s, v, h: step_fn(cfg, params, s, v, h),
-                      in_axes=(None, 0, 0))
+    combined_v = jax.vmap(
+        lambda s, v: rhs_mod.eqn_ray_and_check(cfg, params, s, v),
+        in_axes=(None, 0))
+    step_v = jax.vmap(
+        lambda s, v, h, f1, st1: step_fn(cfg, params, s, v, h, f1, st1),
+        in_axes=(None, 0, 0, 0, 0))
 
     # initial validity check (ray_tracing.f90:100-112); the initial residual
     # is recorded as 0 ("assume initial k solves the dispersion relation",
-    # ray_tracing.f90:93)
-    _, st0 = check_v(v0)
-    status = jnp.where(status0 != 0, status0, st0)
+    # ray_tracing.f90:93).  The same evaluation seeds the first step's k1.
+    f1_0, st1_0, _, chk0 = combined_v(jnp.zeros((), v0.dtype), v0)
+    status = jnp.where(status0 != 0, status0, chk0)
 
     def body(carry, k):
-        v, hstate, status, nstep, end_res, max_res = carry
+        v, f1, st1, hstate, status, nstep, end_res, max_res = carry
         s = k.astype(v.dtype) * ds
         sout = (k + 1).astype(v.dtype) * ds
 
@@ -126,15 +151,19 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
         )
         active = status == 0
 
-        v_new, solver_st, h_new = step_v(s, v, hstate)
+        v_new, solver_st, h_new = step_v(s, v, hstate, f1, st1)
         status = jnp.where(active & (solver_st != 0), solver_st, status)
         accepted = active & (solver_st == 0)
 
-        resid, check_st = check_v(v_new)
+        f_new, rhs_st_new, resid, check_st = combined_v(sout, v_new)
         status = jnp.where(accepted & (check_st != 0), check_st, status)
         ok = accepted & (check_st == 0)
 
         v = jnp.where(ok[:, None], v_new, v)
+        # the endpoint RHS (and its status) becomes the next step's k1; a
+        # frozen ray keeps the stage matching its frozen state
+        f1 = jnp.where(ok[:, None], f_new, f1)
+        st1 = jnp.where(ok, rhs_st_new, st1)
         # adaptive stepper state (converged h) persists across outer steps
         hstate = jnp.where(ok, h_new, hstate)
         nstep = nstep + ok.astype(jnp.int32)
@@ -145,19 +174,19 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
             out = (jnp.where(ok[:, None], v, 0.0), jnp.where(ok, resid, 0.0), ok)
         else:
             out = None  # summaries live in the carry: no per-step HBM writes
-        return (v, hstate, status, nstep, end_res, max_res), out
+        return (v, f1, st1, hstate, status, nstep, end_res, max_res), out
 
     B = v0.shape[0]
     zero = jnp.zeros((B,), v0.dtype)
     h0 = jnp.full((B,), ds, v0.dtype)
-    init = (v0, h0, status, jnp.zeros((B,), jnp.int32), zero, zero)
+    init = (v0, f1_0, st1_0, h0, status, jnp.zeros((B,), jnp.int32), zero, zero)
     # rematerialize per-step internals on the backward pass: reverse-mode
     # through the scan then stores only the (small) carry per step instead
     # of every RK stage/equilibrium intermediate — the memory strategy of
     # SURVEY.md §5.7 that makes production-scale adjoints fit in HBM.
     if getattr(cfg, "remat_steps", True):
         body = jax.checkpoint(body, prevent_cse=False)
-    (v_f, _, status_f, nstep_f, end_res, max_res), outs = jax.lax.scan(
+    (v_f, _, _, _, status_f, nstep_f, end_res, max_res), outs = jax.lax.scan(
         body, init, jnp.arange(cfg.nstep_max)
     )
 
