@@ -107,17 +107,21 @@ def _jaxpr_flops(jaxpr) -> float:
 
 
 def _step_flops(cfg, params, v0):
-    """FLOPs per ray per outer step: jaxpr op count of one RK4 step + the
-    check_save monitor on a single ray vector."""
+    """FLOPs per ray per outer step, mirroring the production scan body:
+    one carried-stage RK4 step (3 fresh RHS evals) + the shared endpoint
+    evaluation (RHS + check from one equilibrium eval)."""
     from rays_tpu.tracing import rhs as rhs_mod, rk4
 
     v = v0[0]
     h = jnp.zeros((), v.dtype)
+    s = jnp.zeros((), v.dtype)
+    f1, st1 = rhs_mod.eqn_ray(cfg, params, s, v)
     step_jx = jax.make_jaxpr(
-        lambda vv: rk4.rk4_step(cfg, params, jnp.zeros((), v.dtype), vv, h))(v)
-    check_jx = jax.make_jaxpr(
-        lambda vv: rhs_mod.check_save(cfg, params, vv))(v)
-    return _jaxpr_flops(step_jx.jaxpr) + _jaxpr_flops(check_jx.jaxpr)
+        lambda vv, ff: rk4.rk4_step_carried(cfg, params, s, vv, h, ff, st1))(
+            v, f1)
+    end_jx = jax.make_jaxpr(
+        lambda vv: rhs_mod.eqn_ray_and_check(cfg, params, s, vv))(v)
+    return _jaxpr_flops(step_jx.jaxpr) + _jaxpr_flops(end_jx.jaxpr)
 
 
 def bench_slab(extra):
@@ -201,30 +205,56 @@ def bench_slab(extra):
     extra["headline_chips_needed_at_this_rate"] = max(
         1, int(-(-sec_head // HEADLINE_BUDGET_S)))
 
-    # production dispatch = the faster path (the XLA scan on the current
-    # Mosaic toolchain; see trace_rays docstring — the fused number is
-    # reported alongside for honesty)
-    best = min(t for t in (fwd_times["f32"], fused_sec) if t is not None)
-    return N_RAYS / best, best
+    # the headline reports what production code actually dispatches: the
+    # XLA scan (trace_rays 'auto' always selects it; the fused-kernel
+    # number stays in extra for honesty)
+    return N_RAYS / fwd_times["f32"], fwd_times["f32"]
+
+
+def bench_sg_adaptive(extra):
+    """The reference's daily-driver integration mode: SG_ODE (-> DP5(4)
+    with PI control, SG_ode_m.f90:89-159) on the slab ECH case at the
+    production batch, forward and adjoint f32."""
+    text = examples.SLAB_ECH_90GHZ.replace(
+        "ode_solver_name='RK4_ODE'", "ode_solver_name='SG_ODE'")
+    cfg, params, v0, status0, pwr = examples.setup_example(text)
+    cfg = dataclasses.replace(cfg, nstep_max=N_STEPS, save_trajectory=False)
+    v0, status0, pwr = examples.replicate_rays(v0, status0, pwr, N_RAYS)
+    p, v, w = (_cast(params, jnp.float32), _cast(v0, jnp.float32),
+               _cast(pwr, jnp.float32))
+    tracer = jax.jit(
+        lambda p, v, st, w: trace_mod.trace_batch(cfg, p, v, st, w))
+    sec, _ = _time(tracer, p, v, status0, w)
+    extra["rays_per_s_sg_f32"] = round(N_RAYS / sec, 1)
+
+    # adjoint: the substep while_loop has no reverse-mode rule, so the
+    # differentiable fixed-length-scan form prices the adaptive adjoint
+    # (4 substeps cover the slab case at tol 1e-4 with headroom)
+    cfg_adj = dataclasses.replace(cfg, sg_scan_substeps=4)
+
+    def loss_fn(pp, vv, st, ww):
+        res = trace_mod.trace_batch(cfg_adj, pp, vv, st, ww)
+        return jnp.sum(res.end_ray_vec[:, 0:3] ** 2 * ww[:, None])
+
+    grad_step = jax.jit(jax.value_and_grad(loss_fn))
+    sec_adj, _ = _time(grad_step, p, v, status0, w)
+    extra["rays_per_s_sg_adjoint_f32"] = round(N_RAYS / sec_adj, 1)
+    extra["sg_adjoint_over_forward_f32"] = round(sec_adj / sec, 2)
 
 
 def bench_mirror_spline(extra):
     """Gather-bound spline geometry: the MPEX mirror example (the
     reference's hottest spline path, mirror_magnetics_spline_interp_m.f90:
-    132-207), production batch."""
+    132-207), production batch — same N_RAYS as the slab row."""
     if not os.path.isdir(MPEX_DIR):
         extra["mirror_note"] = "MPEX example dir unavailable"
         return
     from rays_tpu import run as runner
 
-    cwd = os.getcwd()
-    os.chdir(MPEX_DIR)
-    try:
-        cfg, params, v0, status0, pwr = runner.setup("rays.in")
-    finally:
-        os.chdir(cwd)
+    cfg, params, v0, status0, pwr = runner.setup(
+        os.path.join(MPEX_DIR, "rays.in"))
     cfg = dataclasses.replace(cfg, nstep_max=N_STEPS, save_trajectory=False)
-    n = N_RAYS // 4  # damping + splines: 4x the flops of the slab case
+    n = N_RAYS
     v0, status0, pwr = examples.replicate_rays(v0, status0, pwr, n)
     for dt, tag in ((jnp.float64, "f64"), (jnp.float32, "f32")):
         p, v, w = _cast(params, dt), _cast(v0, dt), _cast(pwr, dt)
@@ -234,10 +264,87 @@ def bench_mirror_spline(extra):
         extra[f"rays_per_s_mirror_spline_{tag}"] = round(n / sec, 1)
 
 
+_EQDSK_TOROID_TMPL = """
+&diagnostics_list
+ run_label='bench_eqdsk', integrate_eq_gradients=.false.
+/
+&species_list
+ n0=8.0e19, spec_name(0)='electron', t0s(0)=1.0e3,
+ spec_name(1)='deuterium', t0s(1)=1.0e2, eta(1)=1.
+/
+&rf_list
+ frf=90.e9, k0_sign=1, wave_mode='minus', ray_dispersion_model='cold',
+ ray_param='arcl', dispersion_resid_limit=0.1
+/
+&damping_list
+ damping_model='no_damp'
+/
+&equilibrium_list
+ equilib_model='axisym_toroid'
+/
+&axisym_toroid_eq_list
+ magnetics_model='eqdsk_magnetics_spline_interp',
+ plasma_psi_limit=1.0,
+ density_prof_model='parabolic', alphan1=1.0, alphan2=2.0, d_scrape_off=0.05,
+ temperature_prof_model=2*'zero'
+/
+&eqdsk_magnetics_spline_interp_list
+ eqdsk_file_name='{EQDSK}'
+/
+&ray_init_list
+ ray_init_model='axisym_toroid_ray_init_R_Z_nphi_ntheta', nray_max=20
+/
+&axisym_toroid_ray_init_R_Z_nphi_ntheta_list
+ n_R_launch=1, R_launch0=1.5, n_Z_launch=1, Z_launch0=0.0,
+ n_rindex_theta=2, rindex_theta0=0.0, delta_rindex_theta=0.2,
+ n_rindex_phi=1, rindex_phi0=0.3
+/
+&ode_list
+ ode_solver_name='RK4_ODE', nstep_max=500, ds=2.e-3, s_max=4.0
+/
+"""
+
+
+def bench_eqdsk_toroid(extra):
+    """The reference's hottest tokamak spline path: psi(R,Z) 2-D spline +
+    1-D profile splines (eqdsk_magnetics_spline_interp_m.f90:206-286),
+    from a solovev_2_eqdsk-generated 129x129 EQDSK, production batch."""
+    import tempfile
+
+    from rays_tpu import run as runner
+    from rays_tpu.config import schema
+    from rays_tpu.config.namelist import parse_namelist
+    from rays_tpu.rayinit import vector as init_vector
+    from rays_tpu.utils import solovev_2_eqdsk
+    from rays_tpu.utils.eqdsk_io import write_geqdsk
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "solovev.geqdsk")
+        write_geqdsk(path, solovev_2_eqdsk.solovev_geqdsk(
+            rmaj=1.2, kappa=1.5, bphi0=2.2, iota0=0.3, outer_bound=1.55,
+            nrbox=129, nzbox=129))
+        cfg, params = schema.from_namelist(parse_namelist(
+            _EQDSK_TOROID_TMPL.format(EQDSK=path)))
+    rvec0, rindex0, pwr = runner.init_rays(cfg, params)
+    v0 = init_vector.initial_ode_vectors(cfg, params, rvec0, rindex0)
+    status0 = jnp.zeros((v0.shape[0],), jnp.int32)
+    cfg = dataclasses.replace(cfg, nstep_max=N_STEPS, save_trajectory=False)
+    n = N_RAYS
+    v0, status0, pwr = examples.replicate_rays(v0, status0, pwr, n)
+    p, v, w = (_cast(params, jnp.float32), _cast(v0, jnp.float32),
+               _cast(pwr, jnp.float32))
+    tracer = jax.jit(
+        lambda p, v, st, w: trace_mod.trace_batch(cfg, p, v, st, w))
+    sec, _ = _time(tracer, p, v, status0, w)
+    extra["rays_per_s_eqdsk_toroid_f32"] = round(n / sec, 1)
+
+
 def main():
     extra = {}
     rays_per_s, sec = bench_slab(extra)
+    bench_sg_adaptive(extra)
     bench_mirror_spline(extra)
+    bench_eqdsk_toroid(extra)
 
     print(json.dumps({
         "metric": "rays_per_s_per_chip_rk4_forward_f32",

@@ -23,7 +23,12 @@ class _Var:
 
     def __getitem__(self, idx):
         data = self._var[idx] if self._var.shape else self._var.getValue()
-        return np.asarray(data)
+        arr = np.asarray(data)
+        if arr.dtype.kind == "S" and arr.ndim == 1:
+            # a row of a NetCDF3 char matrix: netCDF4-python hands scripts
+            # bytes (str(var[i], 'utf-8') in P_profiles.py et al.)
+            return arr.tobytes()
+        return arr
 
     def __array__(self, dtype=None):
         arr = np.asarray(self._var[:] if self._var.shape else self._var.getValue())

@@ -134,6 +134,11 @@ class Config:
     ray_deriv_name: str = "cold"
     nstep_max: int = 500
     max_substeps: int = 512        # adaptive stepper: bound on internal steps per ds
+    # > 0 replaces the adaptive substep while_loop with a fixed-length
+    # masked scan of this many iterations — reverse-differentiable (the
+    # while_loop is not), at the cost of always paying that many substeps;
+    # set for adjoint runs through the SG_ODE path
+    sg_scan_substeps: int = 0
     # rematerialize scan-step internals in reverse mode (jax.checkpoint):
     # adjoints at production ray counts/step counts without storing every
     # RK stage (SURVEY.md §5.7); no effect on forward-only runs

@@ -71,10 +71,16 @@ def distribute_rays(mesh: Mesh, v0_local, status0_local, pwr_local):
             make(sh, np.asarray(pwr_local)))
 
 
-def local_ray_slice(n_global: int):
-    """(start, stop) of this process's contiguous share of a global ray
-    batch, balanced like the sharded leading axis."""
-    pc, pi = jax.process_count(), jax.process_index()
+def local_ray_slice(n_global: int, process_count: int | None = None,
+                    process_index: int | None = None):
+    """(start, stop) of one process's contiguous share of a global ray
+    batch, balanced like the sharded leading axis.  Defaults to THIS
+    process's position in the live runtime; explicit (process_count,
+    process_index) make the partition arithmetic directly testable."""
+    pc = jax.process_count() if process_count is None else int(process_count)
+    pi = jax.process_index() if process_index is None else int(process_index)
+    if not 0 <= pi < pc:
+        raise ValueError(f"process_index {pi} outside [0, {pc})")
     per = -(-n_global // pc)
     return min(pi * per, n_global), min((pi + 1) * per, n_global)
 

@@ -92,6 +92,77 @@ def calculate_deposition_profile(cfg, params, results, which: str,
     return DepositionProfile(name=which, grid=edges, profile=total)
 
 
+def write_deposition_profiles_nc(cfg, params, results, n_bins: int = 50,
+                                 path=None):
+    """deposition_profiles.<label>.nc in the reference's exact schema
+    (write_deposition_profiles_NC, deposition_profiles_m.f90:336-420):
+    dims (n_profiles, n_bins, n_bins_p1, d20); per-profile Q_sum,
+    grid_min/max, 20-char profile_name/grid_name, bin-edge grid
+    (n_bins+1) and binned profile; global attrs RAYS_run_label +
+    date_vector.  Consumed unmodified by graphics_RAYS/plot_profiles.py,
+    P_profiles.py and PC_profiles.py (tests/test_aux_plotters.py)."""
+    import datetime
+
+    import numpy as np
+    from scipy.io import netcdf_file
+
+    names = profile_names_for_geometry(cfg.equilib_model, cfg, params)
+    grids = {"Ptotal_x": "x", "Ptotal_psi": "psi", "Ptotal_rho": "rho",
+             "Ptotal_AphiN": "AphiN"}
+    profs = []
+    for nm in names:
+        if nm == "Ptotal_x":
+            lo, hi = float(params.eq.xmin), float(params.eq.xmax)
+        else:
+            lo, hi = 0.0, 1.0
+        profs.append((calculate_deposition_profile(
+            cfg, params, results, nm, n_bins, lo, hi), lo, hi))
+
+    fn = path or f"deposition_profiles.{cfg.run_label}.nc"
+    now = datetime.datetime.now()
+    f = netcdf_file(fn, "w")
+    try:
+        f.createDimension("n_profiles", len(profs))
+        f.createDimension("n_bins", n_bins)
+        f.createDimension("n_bins_p1", n_bins + 1)
+        f.createDimension("d20", 20)
+        f.createDimension("d8", 8)
+        f.RAYS_run_label = cfg.run_label.encode()
+        f.date_vector = np.array(
+            [now.year, now.month, now.day, 0, now.hour, now.minute,
+             now.second, 0], np.int32)
+
+        def var(name, dtype, dims, data):
+            v = f.createVariable(name, dtype, dims)
+            v[:] = data
+            return v
+
+        def chars(strings):
+            out = np.full((len(strings), 20), b" ", "S1")
+            for i, s in enumerate(strings):
+                b = s.encode()[:20]
+                out[i, :len(b)] = np.frombuffer(b, "S1")
+            return out
+
+        var("Q_sum", np.float64, ("n_profiles",),
+            [float(np.sum(np.asarray(p.profile))) for p, _, _ in profs])
+        var("grid_min", np.float64, ("n_profiles",),
+            [lo for _, lo, _ in profs])
+        var("grid_max", np.float64, ("n_profiles",),
+            [hi for _, _, hi in profs])
+        var("profile_name", "S1", ("n_profiles", "d20"),
+            chars([p.name for p, _, _ in profs]))
+        var("grid_name", "S1", ("n_profiles", "d20"),
+            chars([grids[p.name] for p, _, _ in profs]))
+        var("grid", np.float64, ("n_profiles", "n_bins_p1"),
+            np.stack([np.asarray(p.grid) for p, _, _ in profs]))
+        var("profile", np.float64, ("n_profiles", "n_bins"),
+            np.stack([np.asarray(p.profile) for p, _, _ in profs]))
+    finally:
+        f.close()
+    return fn
+
+
 def profile_names_for_geometry(equilib_model: str, cfg=None, params=None):
     """Registry (deposition_profiles_m.f90:38-45).  Ptotal_rho joins the
     axisym_toroid list only when the magnetics backend defines rho (EQDSK

@@ -147,6 +147,49 @@ def write_kx_profiles(cfg, params, rindex_vec0, n_points=201, out_prefix=None):
     return write_xy_curves_nc(curves, prefix)
 
 
+def write_kx_profiles_text(cfg, params, rindex_vec0, n_points=101, path=None):
+    """'kx_profiles_slab.<run_label>' in the reference's TEXT layout
+    (write_kx_profiles, slab_processor_m.f90:729-827): per ray a
+    'ray <i> ny <ny> nz <nz>' line, a column-heading line starting with
+    'x', then rows of x and (re, im) kx for the plus/minus/fast/slow
+    roots — the file graphics_RAYS/plot_kx_profiles_slab.py parses."""
+    xmin, xmax = float(params.eq.xmin), float(params.eq.xmax)
+    xs = np.linspace(xmin, xmax, n_points)
+    k0 = float(params.rf.k0)
+
+    def roots_at(x, ny, nz):
+        rvec = jnp.stack([x, jnp.zeros_like(x), jnp.zeros_like(x)])
+        alpha, gamma, bunit, _ = dispersion.alpha_gamma(
+            cfg, params, rvec, params.rf.omgrf)
+        n2 = ny * bunit[2] - nz * bunit[1]
+        n3 = ny * bunit[1] + nz * bunit[2]
+        roots, evan = dispersion.solve_cold_n1sq_vs_n3(alpha, gamma, n3)
+        nxsq = roots - n2**2
+        re = jnp.sqrt(jnp.maximum(nxsq, 0.0)) * k0
+        im = jnp.sqrt(jnp.maximum(-nxsq, 0.0)) * k0
+        return re, im
+
+    names = ("x", "kx_real_plus", "kx_im_plus", "kx_real_minus",
+             "kx_im_minus", "kx_real_fast", "kx_im_fast", "kx_real_slow",
+             "kx_im_slow")
+    fname = path or f"kx_profiles_slab.{cfg.run_label}"
+    with open(fname, "w") as f:
+        for iray in range(rindex_vec0.shape[0]):
+            ny = float(rindex_vec0[iray, 1])
+            nz = float(rindex_vec0[iray, 2])
+            re, im = (np.asarray(o) for o in jax.jit(jax.vmap(
+                lambda x: roots_at(x, jnp.float64(ny), jnp.float64(nz))))(
+                jnp.asarray(xs)))
+            f.write(f" ray {iray + 1} ny {ny:.6g} nz {nz:.6g}\n")
+            f.write(" " + " ".join(names) + "\n")
+            for i, x in enumerate(xs):
+                row = [x]
+                for k in range(4):  # plus, minus, fast, slow
+                    row.extend([re[i, k], im[i, k]])
+                f.write(" " + " ".join(f"{v:.9g}" for v in row) + "\n")
+    return fname
+
+
 def write_graphics_description(cfg, params, path="graphics_description_slab.dat",
                                num_plot_k_vectors=5, scale_k_vec="max_len",
                                k_vec_base_length=0.05, set_xy_lim="true"):
@@ -174,5 +217,6 @@ def process(cfg, params, results, rindex_vec0):
     out["res_and_cuts"] = find_res_and_cuts(cfg, params, rindex_vec0)
     out["eq_profiles"] = write_eq_profiles(cfg, params)
     out["kx_profiles"] = write_kx_profiles(cfg, params, rindex_vec0)
+    out["kx_profiles_text"] = write_kx_profiles_text(cfg, params, rindex_vec0)
     out["graphics_description"] = write_graphics_description(cfg, params)
     return out

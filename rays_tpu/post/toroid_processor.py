@@ -230,12 +230,52 @@ def write_eq_contours(cfg, params, n_r=65, n_z=65, path=None):
     return fname
 
 
+def write_normalized_psi_nc(cfg, params, n_r=65, n_z=65, path=None):
+    """normalized_psi.<label>.nc for graphics_RAYS/plot_psi_contours.py:
+    box bounds + R(n_R) + Z(n_Z) + psiN indexed [Z, R] (the C-order view
+    of the reference's [n_R, n_Z] Fortran layout, which is what
+    matplotlib's contour(R, Z, psiN) consumes)."""
+    from scipy.io import netcdf_file
+
+    psiN = _psiN_fn(cfg, params)
+    rmin, rmax = float(params.eq.box_rmin), float(params.eq.box_rmax)
+    zmin, zmax = float(params.eq.box_zmin), float(params.eq.box_zmax)
+    rs = np.linspace(rmin, rmax, n_r)
+    zs = np.linspace(zmin, zmax, n_z)
+    R, Z = np.meshgrid(rs, zs, indexing="ij")
+
+    def one(r, z):
+        return psiN(jnp.stack([r, jnp.zeros_like(r), z]))
+
+    pn = np.asarray(jax.jit(jax.vmap(one))(
+        jnp.asarray(R.ravel()), jnp.asarray(Z.ravel()))).reshape(n_r, n_z)
+
+    fname = path or f"normalized_psi.{cfg.run_label}.nc"
+    f = netcdf_file(fname, "w")
+    try:
+        f.createDimension("n_R", n_r)
+        f.createDimension("n_Z", n_z)
+        f.RAYS_run_label = cfg.run_label.encode()
+        for name, val in [("box_rmin", rmin), ("box_rmax", rmax),
+                          ("box_zmin", zmin), ("box_zmax", zmax)]:
+            v = f.createVariable(name, np.float64, ())
+            # scipy's assignValue does data[:] which trips on 0-d arrays
+            v.data[()] = val
+        v = f.createVariable("R", np.float64, ("n_R",)); v[:] = rs
+        v = f.createVariable("Z", np.float64, ("n_Z",)); v[:] = zs
+        v = f.createVariable("psiN", np.float64, ("n_Z", "n_R")); v[:] = pn.T
+    finally:
+        f.close()
+    return fname
+
+
 def process(cfg, params, results):
     out = {}
     rb, zb, ok = find_plasma_boundary(cfg, params)
     out["boundary"] = (rb, zb)
     out["contours"] = write_eq_contour_grids(cfg, params)
     out["eq_contours"] = write_eq_contours(cfg, params)
+    out["normalized_psi"] = write_normalized_psi_nc(cfg, params)
     out["profiles"] = write_radial_profiles(cfg, params)
     gd_path = ("graphics_description_solovev.dat"
                if cfg.equilib_model == "solovev"

@@ -30,6 +30,14 @@ Physics formulas are the same chain rule as wave/deriv_cold.py
 unrolled over the (small, static) species count.  Run parameters are baked
 into the kernel as compile-time constants (this is a forward throughput
 engine; parameter differentiation uses the XLA path).
+
+STATUS: FROZEN (round 4).  The kill criterion of VERDICT r3 item 9 was
+met: round 3 exhausted the winning-configuration space (wider ray blocks,
+f32 index math, per-segment grid splits) without closing the 16x gap, and
+round 4's spline-path wins came from XLA-level layout fixes, not kernels —
+the Pallas budget is better spent elsewhere.  The file stays as the
+accuracy A/B and the vehicle for future Mosaic toolchains; no further
+performance work is planned on it.
 """
 
 from __future__ import annotations

@@ -132,7 +132,23 @@ def rk45_step_carried(cfg, params, s, v, h0, f1, st1):
 
     h_start = jnp.clip(h0, h_min, jnp.abs(ds))
     init = (s, v, h_start, f1, st1, jnp.int32(StopCode.OK), jnp.int32(0))
-    t_f, v_f, h_f, _, _, status, _ = jax.lax.while_loop(cond, body, init)
+    n_scan = int(getattr(cfg, "sg_scan_substeps", 0))
+    if n_scan > 0:
+        # reverse-differentiable form: a fixed-length scan with masked
+        # updates replaces the while_loop (lax.while_loop has no
+        # reverse-mode rule).  The substep budget becomes n_scan; the
+        # post-loop ODE_TOTAL_ERROR check below still fires if a ray
+        # needed more.  Used for adjoints through the adaptive path.
+        def scan_body(carry, _):
+            done = ~cond(carry)
+            new = body(carry)
+            keep = lambda a, b: jnp.where(done, a, b)
+            return tuple(map(keep, carry, new)), None
+
+        (t_f, v_f, h_f, _, _, status, _), _ = jax.lax.scan(
+            scan_body, init, None, length=n_scan)
+    else:
+        t_f, v_f, h_f, _, _, status, _ = jax.lax.while_loop(cond, body, init)
     # substep budget exhausted without reaching sout -> tolerance failure
     status = jnp.where(
         (status == 0) & (sout - t_f > done_tol),

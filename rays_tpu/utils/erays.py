@@ -68,22 +68,29 @@ def plot_trajectories(cfg, results, path=None):
     return out
 
 
+def run_reference_script(script, args=(), workdir="."):
+    """Run one of the reference's committed graphics_RAYS scripts
+    unmodified in ``workdir`` (interop check: same file schemas).  The
+    rays_tpu/compat netCDF4 shim over scipy backs their ``import netCDF4``
+    in environments without netCDF4-python."""
+    env = dict(os.environ)
+    compat = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "compat")
+    env["PYTHONPATH"] = compat + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("MPLBACKEND", "Agg")
+    return subprocess.run(
+        [sys.executable, os.path.join(REFERENCE_GRAPHICS, script),
+         *map(str, args)],
+        cwd=workdir, capture_output=True, text=True, env=env)
+
+
 def plot_with_reference_scripts(cfg, workdir="."):
-    """Invoke the reference's committed plotter against our netCDF output
-    (interop check: same file schema)."""
+    """Invoke the reference's committed geometry plotter against our
+    netCDF output."""
     script = {
         "slab": "plot_RAYS_slab.py",
         "solovev": "plot_RAYS_solovev.py",
         "axisym_toroid": "plot_RAYS_axisym_toroid.py",
         "multiple_mirror": "plot_RAYS_mirror.py",
     }[cfg.equilib_model]
-    env = dict(os.environ)
-    # rays_tpu/compat provides a netCDF4 shim over scipy for environments
-    # without netCDF4-python
-    compat = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "compat")
-    env["PYTHONPATH"] = compat + os.pathsep + env.get("PYTHONPATH", "")
-    env.setdefault("MPLBACKEND", "Agg")
-    return subprocess.run(
-        [sys.executable, os.path.join(REFERENCE_GRAPHICS, script)],
-        cwd=workdir, capture_output=True, text=True, env=env)
+    return run_reference_script(script, workdir=workdir)

@@ -112,6 +112,78 @@ def test_sg_solovev_matches_fine_oracle():
     _assert_tolerance_agreement(cfg, params, res, oc, tol_mult=4000.0)
 
 
+def test_sg_solovev_tolerance_ladder():
+    """The quantitative SG-equivalence contract (VERDICT r3 item 6): the
+    controller actually delivers its requested tolerance, shown by a
+    tolerance LADDER — tightening TOL by 100x must shrink the end-point
+    error vs a fixed fine-step oracle by well over an order of magnitude.
+    This replaces trusting any single flat tol_mult bound: a curve-fit
+    bound passes at one tolerance, a working controller passes the ladder.
+    """
+    refine = 160  # oracle floor well below the loose-TOL error
+    errs = {}
+    for rel in ("1.e-5", "1.e-7"):
+        # 8x the example ds: at the example's own ds a single full-ds DP5
+        # substep already lands ~1e-10 local error, below BOTH tolerances,
+        # and the ladder cannot distinguish them — the controller must be
+        # forced to actually subdivide
+        text = _sg_text(examples.SOLOVEV_ECH_90GHZ, rel=rel, nstep="20"
+                        ).replace("ds=2.e-3", "ds=1.6e-2")
+        cfg, params, v0, st, pwr = examples.setup_example(text)
+        res = _trace(cfg, params, v0, st, pwr)
+        oc = _oracle_cfg(cfg, params, _solovev_eq_fn(cfg, params))
+        ds = float(params.ode.ds)
+        v0n = np.asarray(v0, float)
+        worst = 0.0
+        for ir in range(v0n.shape[0]):
+            n = int(np.asarray(res.npoints)[ir])
+            traj, _, _ = oracle.trace_ray(
+                oc, v0n[ir], (n - 1) * refine, ds / refine,
+                float(params.ode.s_max))
+            n_common = min(n, (len(traj) - 1) // refine + 1)
+            assert n_common >= 2
+            fine = traj[::refine][n_common - 1]
+            got = np.asarray(res.ray_vec)[ir, n_common - 1]
+            scale = max(np.abs(fine[0:3]).max(), 1e-12)
+            worst = max(worst, np.abs(got[0:3] - fine[0:3]).max() / scale)
+        errs[rel] = worst
+    # 100x tighter tolerance -> at least 5x less end error (measured ~9x:
+    # global error grows sublinearly in TOL since tighter steps also
+    # change the accepted-step sequence; the bar guards the contract that
+    # TOL actually controls the answer, with slop for that sublinearity)
+    assert errs["1.e-7"] < errs["1.e-5"] / 5.0, errs
+    # and the tight run is genuinely accurate in absolute terms
+    assert errs["1.e-7"] < 1e-5, errs
+
+
+def test_sg_scan_substeps_equals_while_loop():
+    """cfg.sg_scan_substeps > 0 (the reverse-differentiable fixed-length
+    substep form used for adaptive adjoints) reproduces the while_loop
+    path exactly when the budget suffices."""
+    cfg, params, v0, st, pwr = examples.setup_example(
+        _sg_text(examples.SLAB_ECH_90GHZ, rel="1.e-5", nstep="30"))
+    res_while = _trace(cfg, params, v0, st, pwr)
+    cfg_scan = dataclasses.replace(cfg, sg_scan_substeps=6)
+    res_scan = _trace(cfg_scan, params, v0, st, pwr)
+    np.testing.assert_array_equal(np.asarray(res_while.npoints),
+                                  np.asarray(res_scan.npoints))
+    np.testing.assert_array_equal(np.asarray(res_while.stop_flag),
+                                  np.asarray(res_scan.stop_flag))
+    np.testing.assert_allclose(np.asarray(res_while.end_ray_vec),
+                               np.asarray(res_scan.end_ray_vec),
+                               rtol=0, atol=1e-13)
+    # and it differentiates in reverse mode (the while_loop cannot)
+    import jax.numpy as jnp
+
+    def loss(p):
+        r = trace_mod.trace_batch(cfg_scan, p, v0, st, pwr)
+        return jnp.sum(r.end_ray_vec[:, 0:3] ** 2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    gn = np.asarray(g.ode.ds)
+    assert np.isfinite(gn).all()
+
+
 def test_adaptive_beats_fixed_rk4_at_equal_outer_steps():
     """The point of the adaptive path: at the same outer grid the SG-analog
     tracks the fine solution better than single-sweep RK4 when the outer ds

@@ -30,19 +30,89 @@ def test_local_ray_slice_partitions_batch():
     # single-process: the local slice is the whole batch
     assert multihost.local_ray_slice(17) == (0, 17)
 
-    # the balanced-partition arithmetic itself, checked against a simulated
-    # process grid (monkeypatch-free: the formula is pure in (pc, pi))
-    def ref_slices(n, pc):
-        per = -(-n // pc)
-        return [(min(i * per, n), min((i + 1) * per, n)) for i in range(pc)]
+    # the PRODUCTION partition arithmetic under explicit (pc, pi):
+    # exhaustive brute-force coverage properties over a grid of problem
+    # sizes and process counts
+    for n in list(range(0, 40)) + [100, 1000, 12345]:
+        for pc in (1, 2, 3, 4, 7, 8, 16):
+            slices = [multihost.local_ray_slice(n, pc, pi)
+                      for pi in range(pc)]
+            # contiguous cover of [0, n) with no overlap
+            assert slices[0][0] == 0 and slices[-1][1] == n
+            for (_, a1), (b0, _) in zip(slices, slices[1:]):
+                assert a1 == b0
+            # every index lands in exactly one slice; balance <= ceil(n/pc)
+            total = sum(b - a for a, b in slices)
+            assert total == n
+            if n:
+                assert max(b - a for a, b in slices) == -(-n // pc)
+            # each slice is a valid range
+            assert all(0 <= a <= b <= n for a, b in slices)
 
-    for n, pc in [(10, 4), (8, 4), (3, 4), (100, 8), (0, 2)]:
-        slices = ref_slices(n, pc)
-        # contiguous cover of [0, n) with no overlap and ceil(n/pc) balance
-        assert slices[0][0] == 0 and slices[-1][1] == n
-        for (_, a1), (b0, _) in zip(slices, slices[1:]):
-            assert a1 == b0
-        assert max(b - a for a, b in slices) == -(-n // pc) if n else True
+    with pytest.raises(ValueError):
+        multihost.local_ray_slice(10, 4, 4)
+    with pytest.raises(ValueError):
+        multihost.local_ray_slice(10, 4, -1)
+
+
+def test_two_process_distributed_smoke():
+    """Execute multihost.initialize's num_processes>1 branch for real:
+    two CPU processes over the jax.distributed runtime (DCN analog),
+    each tracing its local_ray_slice of a shared batch.  Skips where the
+    environment can't run the distributed service."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    prog = textwrap.dedent("""
+        import sys
+        import jax
+        # multi-process CPU needs a cross-process collectives backend;
+        # without it each process builds a local-only client (pc == 1)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        from rays_tpu.parallel import multihost
+        pid = int(sys.argv[1])
+        pi, pc = multihost.initialize(
+            coordinator_address="127.0.0.1:29765",
+            num_processes=2, process_id=pid)
+        assert (pi, pc) == (pid, 2), (pi, pc)
+        lo, hi = multihost.local_ray_slice(10)
+        expect = {0: (0, 5), 1: (5, 10)}[pid]
+        assert (lo, hi) == expect, (lo, hi)
+        print(f"proc {pid}: OK slice {lo}:{hi} devices "
+              f"{jax.device_count()}")
+    """)
+    env = dict(os.environ)
+    # the platform must be pinned BEFORE interpreter start (the axon
+    # sitecustomize imports jax and claims the backend when its env vars
+    # are present), so scrub the tunnel vars and force a multi-device CPU
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+              "AXON_LOOPBACK_RELAY"):
+        env.pop(k, None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", prog, str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append((p.returncode, out))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed runtime did not come up in time")
+    if any(rc != 0 for rc, _ in outs):
+        # environments without working loopback gRPC can't run the service
+        blob = "\n".join(o for _, o in outs)
+        if "UNAVAILABLE" in blob or "DEADLINE" in blob or "bind" in blob:
+            pytest.skip(f"distributed service unavailable:\n{blob[-500:]}")
+        raise AssertionError(blob)
+    for rc, out in outs:
+        assert "OK slice" in out
 
 
 def test_distribute_rays_roundtrip():

@@ -56,6 +56,31 @@ def test_run_leaves_log_file(pipeline):
     assert "max dispersion residual" in text
 
 
+def test_results_ld_roundtrip_with_trace_times(pipeline):
+    """The LD (list-directed ASCII) format carries the same fields as the
+    netCDF — including per-ray trace times (ray_results_m.f90:50,365-420)
+    and stop flags that parse back to codes (VERDICT r3 items 4, 7)."""
+    from rays_tpu import run as runner
+    from rays_tpu.results.ascii import read_results_ld, write_results_ld
+    from rays_tpu.tracing.stop import flag_code
+
+    wd, out = pipeline
+    cfg, res, wall = out["cfg"], out["results"], out["wall"]
+    times = runner.ray_trace_times(res, wall)
+    path = str(wd / "ld_roundtrip")
+    write_results_ld(cfg, res, total_trace_time=wall, path=path,
+                     ray_trace_time=times)
+    back = read_results_ld(path)
+    np.testing.assert_allclose(back["ray_trace_time"], times, rtol=1e-12)
+    assert back["total_trace_time"] == pytest.approx(wall, rel=1e-6)
+    np.testing.assert_array_equal(back["npoints"], np.asarray(res.npoints))
+    np.testing.assert_allclose(
+        back["end_ray_vec"], np.asarray(res.end_ray_vec), rtol=1e-15)
+    # the serialized underscore-folded flags map back to the same codes
+    codes = [flag_code(s) for s in back["ray_stop_flag"]]
+    np.testing.assert_array_equal(codes, np.asarray(res.stop_flag))
+
+
 def test_results_nc_has_ray_trace_times(pipeline):
     from rays_tpu.results.netcdf import read_results_nc
 
