@@ -164,11 +164,14 @@ def magnetics(static: AxisymToroidStatic, p: AxisymToroidParams, rvec):
         psi, _, psiN, _ = solovev_mod.psi(sv, rvec)
     elif static.magnetics_model == "eqdsk_magnetics_spline_interp":
         if p.mag.psi_cells is not None:
+            # channel 0: psi(R,Z); channel 1: RBphi(R) folded into the
+            # same cell fetch (build_cell_spline_2d x_splines)
             fv, fr, fz = splines.eval_cell_2d(p.mag.psi_cells, r, z)
             psi, psi_r, psi_z = fv[0], fr[0], fz[0]
+            rbphi = fv[1]
         else:
             psi, psi_r, psi_z = splines.eval_2d_fp(p.mag.psi_spline, r, z)
-        rbphi = splines.eval_1d(p.mag.rbphi_spline, r)
+            rbphi = splines.eval_1d(p.mag.rbphi_spline, r)
         br = psi_z / r
         bz = -psi_r / r
         bphi = rbphi / r
@@ -358,7 +361,7 @@ def fields_and_jac(static: AxisymToroidStatic, p: AxisymToroidParams,
         p.mag.psi_cells, r, z)
     psi, psi_r, psi_z = fv[0], fr_[0], fz_[0]
     psi_rr, psi_rz, psi_zz = frr[0], frz[0], fzz[0]
-    rbphi, rbphi_r = splines.eval_1d_fp(p.mag.rbphi_spline, r)
+    rbphi, rbphi_r = fv[1], fr_[1]  # RBphi channel of the same cell fetch
 
     br = psi_z / r
     bz = -psi_r / r
@@ -507,7 +510,7 @@ def build_eqdsk_mag_params(path) -> tuple:
                           rho_spline=rho_spline, tflux_spline=tflux_spline,
                           psin_rho_spline=psin_rho_spline,
                           psi_cells=splines.build_cell_spline_2d(
-                              [psi_spline])), g
+                              [psi_spline], x_splines=[rbphi_spline])), g
 
 
 base.register_eq_model("axisym_toroid", sys.modules[__name__])

@@ -196,8 +196,17 @@ def _seg_coef(fi, fi1, mi, mi1, h):
     ], axis=-1)
 
 
-def build_cell_spline_2d(sps) -> CellSpline2D:
-    """Fuse Spline2Ds (same grid) into one per-cell coefficient table."""
+def build_cell_spline_2d(sps, x_splines=()) -> CellSpline2D:
+    """Fuse Spline2Ds (same grid) into one per-cell coefficient table.
+
+    ``x_splines``: Spline1Ds on the SAME x grid, appended as extra K
+    channels whose cells carry the 1-D u-segment cubic in the q=0 row
+    (constant in y).  TPU rationale: gathers are point-rate-bound, nearly
+    independent of row width (measured ~2 cycles/point for 16B and 192B
+    rows alike), so folding a co-gridded 1-D spline into the one cell
+    fetch makes its evaluation free — the EQDSK toroid's RBphi(R) eval
+    was costing as much as the whole psi(R,Z) fetch as a separate gather.
+    """
     sps = list(sps)
     sp0 = sps[0]
     cells = []
@@ -208,6 +217,13 @@ def build_cell_spline_2d(sps) -> CellSpline2D:
         hy = _seg_coef(Mx[:, :-1], Mx[:, 1:], Mxy[:, :-1], Mxy[:, 1:], sp.dy)
         # then along x: (nxm, nym, 4q, 4p)
         cells.append(_seg_coef(gy[:-1], gy[1:], hy[:-1], hy[1:], sp.dx))
+    nym = cells[0].shape[1]
+    for sp in x_splines:
+        cu = _seg_coef(sp.f[..., :-1], sp.f[..., 1:],
+                       sp.m[..., :-1], sp.m[..., 1:], sp.dx)   # (nxm, 4p)
+        block = jnp.zeros(cells[0].shape, cu.dtype)
+        block = block.at[:, :, 0, :].set(cu[:, None, :])
+        cells.append(block)
     return CellSpline2D(x0=sp0.x0, dx=sp0.dx, y0=sp0.y0, dy=sp0.dy,
                         cells=jnp.stack(cells, axis=2))
 
