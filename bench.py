@@ -228,9 +228,15 @@ def bench_sg_adaptive(extra):
     extra["rays_per_s_sg_f32"] = round(N_RAYS / sec, 1)
 
     # adjoint: the substep while_loop has no reverse-mode rule, so the
-    # differentiable fixed-length-scan form prices the adaptive adjoint
-    # (4 substeps cover the slab case at tol 1e-4 with headroom)
-    cfg_adj = dataclasses.replace(cfg, sg_scan_substeps=4)
+    # differentiable fixed-length-scan form prices the adaptive adjoint.
+    # A budget of 2 suffices for the slab at tol 1e-4 (every outer step
+    # accepts its first substep) — verified by asserting full trajectories
+    cfg_adj = dataclasses.replace(cfg, sg_scan_substeps=2)
+    res_chk = jax.jit(
+        lambda p, v, st, w: trace_mod.trace_batch(cfg_adj, p, v, st, w))(
+            p, v, status0, w)
+    assert int(jnp.min(res_chk.npoints)) == N_STEPS + 1, (
+        "sg_scan_substeps budget too small for this case")
 
     def loss_fn(pp, vv, st, ww):
         res = trace_mod.trace_batch(cfg_adj, pp, vv, st, ww)
@@ -256,12 +262,29 @@ def bench_mirror_spline(extra):
     cfg = dataclasses.replace(cfg, nstep_max=N_STEPS, save_trajectory=False)
     n = N_RAYS
     v0, status0, pwr = examples.replicate_rays(v0, status0, pwr, n)
+    sec32 = None
     for dt, tag in ((jnp.float64, "f64"), (jnp.float32, "f32")):
         p, v, w = _cast(params, dt), _cast(v0, dt), _cast(pwr, dt)
         tracer = jax.jit(
             lambda p, v, st, w: trace_mod.trace_batch(cfg, p, v, st, w))
         sec, _ = _time(tracer, p, v, status0, w)
         extra[f"rays_per_s_mirror_spline_{tag}"] = round(n / sec, 1)
+        if tag == "f32":
+            sec32 = sec
+
+    # adjoint through the spline geometry: gradients w.r.t. the field-cell
+    # coefficients (i.e. the measured Brz data) and all profile params
+    p32, v32, w32 = (_cast(params, jnp.float32), _cast(v0, jnp.float32),
+                     _cast(pwr, jnp.float32))
+
+    def loss_fn(pp, vv, st, ww):
+        res = trace_mod.trace_batch(cfg, pp, vv, st, ww)
+        return jnp.sum(res.end_ray_vec[:, 0:3] ** 2 * ww[:, None])
+
+    grad_step = jax.jit(jax.value_and_grad(loss_fn))
+    sec_adj, _ = _time(grad_step, p32, v32, status0, w32)
+    extra["rays_per_s_mirror_adjoint_f32"] = round(n / sec_adj, 1)
+    extra["mirror_adjoint_over_forward_f32"] = round(sec_adj / sec32, 2)
 
 
 _EQDSK_TOROID_TMPL = """
