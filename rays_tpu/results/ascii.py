@@ -54,16 +54,18 @@ def write_results_ld(cfg, results, total_trace_time=0.0, path=None,
         _w(f, "end_residuals", results.end_residuals)
         _w(f, "max_residuals", results.max_residuals)
         _w(f, "ray_stop_flag",
-           [flag_string(int(s)).replace(" ", "_") or "OK"
+           [flag_string(int(s)).strip().replace(" ", "_") or "OK"
             for s in np.asarray(results.stop_flag)])
-        # Fortran column order: (nv, nray) and (nv, pts, nray)
-        _w(f, "start_ray_vec", np.asarray(results.start_ray_vec).T)
-        _w(f, "end_ray_vec", np.asarray(results.end_ray_vec).T)
-        _w(f, "residual",
-           np.asarray(results.residual)[:, :actual_max].T)
-        _w(f, "ray_vec",
-           np.transpose(np.asarray(results.ray_vec)[:, :actual_max, :],
-                        (2, 1, 0)))
+        # Fortran column-major flatten of the reference's (nv, nray) /
+        # (npts, nray) / (nv, npts, nray) arrays (ray_results_m.f90:365+)
+        # is element-for-element the C-order ravel of our (nray, nv) /
+        # (nray, npts) / (nray, npts, nv) layouts — write them as-is
+        # (transposing first, as this writer originally did, produced a
+        # ray-fastest order no Fortran reader would accept)
+        _w(f, "start_ray_vec", np.asarray(results.start_ray_vec))
+        _w(f, "end_ray_vec", np.asarray(results.end_ray_vec))
+        _w(f, "residual", np.asarray(results.residual)[:, :actual_max])
+        _w(f, "ray_vec", np.asarray(results.ray_vec)[:, :actual_max, :])
     return fname
 
 
@@ -101,6 +103,9 @@ def read_results_ld(path):
     }
     nray, pts, nv = (out["number_of_rays"], out["max_number_of_points"],
                      out["dim_v_vector"])
+    # the stream is the Fortran column-major order of the reference's
+    # (nv, nray) / (npts, nray) / (nv, npts, nray) arrays, which is the
+    # C-order layout of our ray-major shapes
     out["start_ray_vec"] = farr("start_ray_vec").reshape(nray, nv)
     out["end_ray_vec"] = farr("end_ray_vec").reshape(nray, nv)
     out["residual"] = farr("residual").reshape(nray, pts)

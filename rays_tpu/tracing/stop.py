@@ -84,7 +84,9 @@ def flag_code(flag: str) -> int:
     underscore-folded token form from the LD/ray_list writers) back to the
     int code.  Unknown strings map to -1 so a file from a newer/older
     writer degrades loudly rather than silently to OK."""
-    s = flag.strip()
+    # tokenized forms may carry the reference's leading space as a
+    # leading underscore (' nstep > nstep_max' -> '_nstep_>_nstep_max')
+    s = flag.strip().lstrip("_")
     if s in _STRING_TO_CODE:
         return _STRING_TO_CODE[s]
     if s.startswith("code_"):
