@@ -141,7 +141,14 @@ def build_spline_2d(x0, dx, y0, dy, f) -> Spline2D:
 
 
 def _gather4(a, i, j):
-    return (a[i, j], a[i, j + 1], a[i + 1, j], a[i + 1, j + 1])
+    """The four corners of cell (i, j) as fast single-axis takes on the
+    flat view (vmapped a[i, j] batches into the slow 2-component-index
+    gather form — see _cell_gather)."""
+    ny = a.shape[-1]
+    flat = a.reshape(-1)
+    lin = i * ny + j
+    return (jnp.take(flat, lin), jnp.take(flat, lin + 1),
+            jnp.take(flat, lin + ny), jnp.take(flat, lin + ny + 1))
 
 
 def eval_2d(sp: Spline2D, x, y):
