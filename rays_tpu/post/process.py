@@ -53,6 +53,65 @@ def load_results_nc(path):
     )
 
 
+def load_results_ld(path):
+    """run_results.<label> (list-directed ASCII) -> RayResults-like
+    namespace (the reference's read_results_LD, ray_results_m.f90:424)."""
+    import jax.numpy as jnp
+
+    from rays_tpu.results.ascii import read_results_ld
+    from rays_tpu.tracing.stop import flag_code
+    from rays_tpu.tracing.trace import RayResults
+
+    d = read_results_ld(path)
+    f64 = lambda name: jnp.asarray(np.asarray(d[name], dtype=np.float64))
+    return RayResults(
+        ray_vec=f64("ray_vec"),
+        residual=f64("residual"),
+        npoints=jnp.asarray(np.asarray(d["npoints"], np.int32)),
+        stop_flag=jnp.asarray(
+            np.array([flag_code(s) for s in d["ray_stop_flag"]], np.int32)),
+        initial_ray_power=f64("initial_ray_power"),
+        end_residuals=f64("end_residuals"),
+        max_residuals=f64("max_residuals"),
+        end_ray_parameter=f64("end_ray_parameter"),
+        start_ray_vec=f64("start_ray_vec"),
+        end_ray_vec=f64("end_ray_vec"),
+    )
+
+
+def load_results_ascii(run_label, directory="."):
+    """Legacy per-step stream (ray_out.<label> + ray_list.<label>) ->
+    RayResults-like namespace (the reference's ASCII input mode,
+    post_processing_m.f90:292-361).  Per-step residuals are not in this
+    stream; summary fields are reconstructed from the trajectory."""
+    import jax.numpy as jnp
+
+    from rays_tpu.results.ascii import read_ray_data
+    from rays_tpu.tracing.stop import flag_code
+    from rays_tpu.tracing.trace import RayResults
+
+    d = read_ray_data(run_label, directory)
+    v = np.asarray(d["v_vec"], np.float64)
+    npts = np.asarray(d["npoints"], np.int32)
+    nray = v.shape[0]
+    last = np.maximum(npts - 1, 0)
+    end_vec = v[np.arange(nray), last]
+    end_res = np.asarray(d["end_residuals"], np.float64)
+    return RayResults(
+        ray_vec=jnp.asarray(v),
+        residual=jnp.zeros(v.shape[:2]),
+        npoints=jnp.asarray(npts),
+        stop_flag=jnp.asarray(
+            np.array([flag_code(s) for s in d["ray_stop_flag"]], np.int32)),
+        initial_ray_power=jnp.full((nray,), 1.0 / max(nray, 1)),
+        end_residuals=jnp.asarray(end_res),
+        max_residuals=jnp.asarray(end_res),
+        end_ray_parameter=jnp.asarray(end_vec[:, 6]),
+        start_ray_vec=jnp.asarray(v[:, 0, :]),
+        end_ray_vec=jnp.asarray(end_vec),
+    )
+
+
 def post_process(cfg, params, results, rindex_vec0=None, pp_config=None):
     """Dispatch the geometry processor (post_processing_m.f90:194-226)."""
     pp_config = pp_config or {}
@@ -118,7 +177,7 @@ def main(argv=None):
     ap.add_argument("--pp", default="post_process_rays.in",
                     help="post-process config namelist")
     ap.add_argument("--results", default=None,
-                    help="run_results file (default run_results.<label>.nc)")
+                    help="run_results file (default per input mode)")
     args = ap.parse_args(argv)
 
     cfg, params = schema.from_file(args.rays_in)
@@ -129,7 +188,20 @@ def main(argv=None):
         nml = read_namelist_file(args.pp)
         pp_cfg.update(nml.get("post_process_list", {}))
         pp_cfg.update(nml.get("deposition_profiles_list", {}))
-    results = load_results_nc(args.results or f"run_results.{cfg.run_label}.nc")
+    # ray_data_input_mode = NC | LD | ASCII, filenames constructed from the
+    # run label exactly as the reference (post_processing_m.f90:159-187)
+    mode = str(pp_cfg.get("ray_data_input_mode", "NC")).strip().upper()
+    if mode == "NC":
+        results = load_results_nc(
+            args.results or f"run_results.{cfg.run_label}.nc")
+    elif mode == "LD":
+        results = load_results_ld(
+            args.results or f"run_results.{cfg.run_label}")
+    elif mode == "ASCII":
+        results = load_results_ascii(cfg.run_label)
+    else:
+        raise ValueError(
+            f"post_process: unimplemented ray_data_input_mode = {mode}")
     out = post_process(cfg, params, results, pp_config=pp_cfg)
     for k, v in out.items():
         print(f"{k}: {v if isinstance(v, str) else type(v).__name__}")

@@ -81,6 +81,45 @@ def test_results_ld_roundtrip_with_trace_times(pipeline):
     np.testing.assert_array_equal(codes, np.asarray(res.stop_flag))
 
 
+def test_standalone_post_process_ld_and_ascii_modes(pipeline):
+    """The standalone post-processor honors the reference's
+    ray_data_input_mode namelist (LD / ASCII alongside NC,
+    post_processing_m.f90:159-187): ray data reloaded from either ASCII
+    format drives the same processor outputs."""
+    from rays_tpu import run as runner
+    from rays_tpu.post import process as pp
+    from rays_tpu.results.ascii import write_results_ld
+
+    wd, out = pipeline
+    cfg, res, wall = out["cfg"], out["results"], out["wall"]
+    write_results_ld(cfg, res, total_trace_time=wall,
+                     path=str(wd / f"run_results.{cfg.run_label}"),
+                     ray_trace_time=runner.ray_trace_times(res, wall))
+    (wd / "post_process_rays.in").write_text(
+        "&post_process_list\n processor='slab', "
+        "ray_data_input_mode='LD'\n/\n")
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        pp.main(["rays.in"])
+        back = pp.load_results_ld(f"run_results.{cfg.run_label}")
+        np.testing.assert_allclose(np.asarray(back.end_ray_vec),
+                                   np.asarray(res.end_ray_vec), rtol=1e-15)
+        # legacy stream mode (ray_out/ray_list written by the pipeline run)
+        (wd / "post_process_rays.in").write_text(
+            "&post_process_list\n processor='slab', "
+            "ray_data_input_mode='ASCII'\n/\n")
+        pp.main(["rays.in"])
+        stream = pp.load_results_ascii(cfg.run_label)
+        np.testing.assert_array_equal(np.asarray(stream.npoints),
+                                      np.asarray(res.npoints))
+        np.testing.assert_allclose(
+            np.asarray(stream.end_ray_vec),
+            np.asarray(res.end_ray_vec), rtol=1e-12)
+    finally:
+        os.chdir(cwd)
+
+
 def test_results_nc_has_ray_trace_times(pipeline):
     from rays_tpu.results.netcdf import read_results_nc
 
