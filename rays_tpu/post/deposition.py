@@ -163,6 +163,37 @@ def write_deposition_profiles_nc(cfg, params, results, n_bins: int = 50,
     return fn
 
 
+def write_deposition_profiles_ld(cfg, params, results, n_bins: int = 50,
+                                 path=None):
+    """deposition_profiles.<label> in the reference's list-directed layout
+    (write_deposition_profiles_LD, deposition_profiles_m.f90:296-331):
+    per profile a name line, the binned values, a grid-name line, the bin
+    edges, and the Q_sum total."""
+    import numpy as np
+
+    names = profile_names_for_geometry(cfg.equilib_model, cfg, params)
+    grids = {"Ptotal_x": "x", "Ptotal_psi": "psi", "Ptotal_rho": "rho",
+             "Ptotal_AphiN": "AphiN"}
+    fn = path or f"deposition_profiles.{cfg.run_label}"
+    with open(fn, "w") as f:
+        for nm in names:
+            if nm == "Ptotal_x":
+                lo, hi = float(params.eq.xmin), float(params.eq.xmax)
+            else:
+                lo, hi = 0.0, 1.0
+            prof = calculate_deposition_profile(
+                cfg, params, results, nm, n_bins, lo, hi)
+            f.write(f" profile_name = {nm}\n")
+            f.write(" " + " ".join(
+                f"{float(v):.17g}" for v in np.asarray(prof.profile)) + "\n")
+            f.write(f" grid_name = {grids[nm]}\n")
+            f.write(" " + " ".join(
+                f"{float(v):.17g}" for v in np.asarray(prof.grid)) + "\n")
+            f.write(" Ptotal_total_deposition\n")
+            f.write(f" {float(np.sum(np.asarray(prof.profile))):.17g}\n")
+    return fn
+
+
 def profile_names_for_geometry(equilib_model: str, cfg=None, params=None):
     """Registry (deposition_profiles_m.f90:38-45).  Ptotal_rho joins the
     axisym_toroid list only when the magnetics backend defines rho (EQDSK

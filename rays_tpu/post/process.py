@@ -160,6 +160,14 @@ def post_process(cfg, params, results, rindex_vec0=None, pp_config=None):
                 xmin, xmax = 0.0, 1.0
             out[name] = deposition.calculate_deposition_profile(
                 cfg, params, results, name, n_bins=n_bins, xmin=xmin, xmax=xmax)
+        # file outputs: netCDF always (the RAYS_P product consumed by
+        # P_profiles/plot_profiles), LD on the reference's namelist flag
+        # (deposition_profiles_m.f90:83,296)
+        out["deposition_nc"] = deposition.write_deposition_profiles_nc(
+            cfg, params, results, n_bins=n_bins)
+        if pp_config.get("write_results_list_directed"):
+            out["deposition_ld"] = deposition.write_deposition_profiles_ld(
+                cfg, params, results, n_bins=n_bins)
     return out
 
 

@@ -155,3 +155,27 @@ def test_mirror_radial_profiles(mpex_run, tmp_path):
         assert f.dimensions["n_curves"] >= 8
     finally:
         f.close()
+
+
+def test_deposition_ld_writer_roundtrip(damped_run, tmp_path):
+    """write_deposition_profiles_ld emits the reference's list-directed
+    layout (deposition_profiles_m.f90:296-331) with values equal to the
+    computed profile."""
+    from rays_tpu.post import deposition
+
+    cfg, params, res = damped_run
+    fn = deposition.write_deposition_profiles_ld(
+        cfg, params, res, n_bins=20, path=str(tmp_path / "dep_ld"))
+    lines = [ln.strip() for ln in open(fn)]
+    assert lines[0] == "profile_name = Ptotal_x"
+    assert lines[2] == "grid_name = x"
+    assert lines[4] == "Ptotal_total_deposition"
+    prof_vals = np.asarray([float(v) for v in lines[1].split()])
+    grid_vals = np.asarray([float(v) for v in lines[3].split()])
+    q_sum = float(lines[5])
+    ref = deposition.calculate_deposition_profile(
+        cfg, params, res, "Ptotal_x", 20,
+        float(params.eq.xmin), float(params.eq.xmax))
+    np.testing.assert_allclose(prof_vals, np.asarray(ref.profile), rtol=1e-12)
+    np.testing.assert_allclose(grid_vals, np.asarray(ref.grid), rtol=1e-12)
+    assert q_sum == pytest.approx(float(np.sum(np.asarray(ref.profile))))
