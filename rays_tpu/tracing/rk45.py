@@ -47,14 +47,16 @@ _MIN_FACTOR = 0.2
 _MAX_FACTOR = 5.0
 
 
-def _dopri_step(f, t, v, h, k1, k1_st):
+def _dopri_step(f, f_check, t, v, h, k1, k1_st):
     """One trial DOPRI5 step with the first stage supplied (FSAL: DP5's
     7th stage is evaluated at (t+h, v5), so an accepted step's k7 IS the
-    next step's k1 — 6 fresh RHS evals per substep instead of 7).
-    Returns (v5, err_vec, status, k7, k7_status)."""
+    next step's k1 — 6 fresh RHS evals per substep instead of 7).  The
+    7th stage uses ``f_check`` (the RHS + check_save from one equilibrium
+    eval) so the step's endpoint check rides the same evaluation.
+    Returns (v5, err_vec, status, k7, k7_status, resid, check_status)."""
     ks = [k1]
     status = k1_st
-    for i in range(1, 7):
+    for i in range(1, 6):
         vi = v
         for j, aij in enumerate(_A[i]):
             if aij != 0.0:
@@ -62,53 +64,74 @@ def _dopri_step(f, t, v, h, k1, k1_st):
         ki, sti = f(t + _C[i] * h, vi)
         status = jnp.where(status != 0, status, sti)
         ks.append(ki)
+    # stage 7: A[6] == B5, so v7 IS the 5th-order solution v5
     v5 = v
+    for j, aij in enumerate(_A[6]):
+        if aij != 0.0:
+            v5 = v5 + h * aij * ks[j]
+    k7, st7, resid, chk = f_check(t + _C[6] * h, v5)
+    status = jnp.where(status != 0, status, st7)
+    ks.append(k7)
     err = jnp.zeros_like(v)
     for bi5, bi4, ki in zip(_B5, _B4, ks):
-        if bi5 != 0.0:
-            v5 = v5 + h * bi5 * ki
         err = err + h * (bi5 - bi4) * ki
-    return v5, err, status, ks[6], status
+    return v5, err, status, k7, status, resid, chk
 
 
 def rk45_step(cfg, params, s, v, h0):
     """Advance one outer step ds adaptively.  Returns (v_new, status, h_next)."""
     f1, st1 = rhs_mod.eqn_ray(cfg, params, s, v)
-    return rk45_step_carried(cfg, params, s, v, h0, f1, st1)
+    v_f, status, h_f, _, _, _, _ = rk45_step_carried_full(
+        cfg, params, s, v, h0, f1, st1)
+    return v_f, status, h_f
 
 
 def rk45_step_carried(cfg, params, s, v, h0, f1, st1):
+    """Carried-stage form returning (v_new, status, h_next) — see
+    rk45_step_carried_full for the endpoint-sharing variant."""
+    v_f, status, h_f, _, _, _, _ = rk45_step_carried_full(
+        cfg, params, s, v, h0, f1, st1)
+    return v_f, status, h_f
+
+
+def rk45_step_carried_full(cfg, params, s, v, h0, f1, st1):
     """Advance one outer step ds adaptively, with (f1, st1) = eqn_ray(s, v)
     supplied by the caller (the production tracer carries it from the
-    previous step's shared endpoint evaluation).  Returns
-    (v_new, status, h_next).
+    previous step's endpoint stage).  Returns
+    (v_new, status, h_next, f_end, f_end_status, resid, check_status):
+    f_end is the RHS at (sout, v_new) — the FSAL 7th stage of the final
+    accepted substep — and (resid, check_status) are check_save's values
+    at the same point from the SAME equilibrium evaluation, so the
+    production tracer pays no separate endpoint eval at all.
 
     ``h0`` is the converged step size carried over from the previous outer
     step (the SG suite likewise keeps its step/order state across outer
     steps, SG_ode_m.f90:73-85 resets only at ray start) — re-seeding h = ds
     every outer step would waste rejected substeps on stiff stretches.
     Within the substep loop the first stage rides FSAL: an accepted
-    substep's k7 (evaluated at the new point) becomes the next substep's
-    k1; a rejected substep reuses its k1 unchanged.
+    substep's k7 becomes the next substep's k1; a rejected substep reuses
+    its k1 unchanged.
     """
     dt = v.dtype
     ds = params.ode.ds
     sout = s + ds
     rel, ab = params.ode.rel_err, params.ode.abs_err
     f = lambda ss, vv: rhs_mod.eqn_ray(cfg, params, ss, vv)
+    f_check = lambda ss, vv: rhs_mod.eqn_ray_and_check(cfg, params, ss, vv)
     h_min = jnp.abs(ds) * 1e-12
     # "reached sout" tolerance: below ~eps*|sout| the update t += h would
     # round away and the loop could spin until the substep budget dies
     done_tol = jnp.abs(ds) * 1e-10
 
     def cond(carry):
-        t, _, _, _, _, status, n_sub = carry
+        t, _, _, _, _, _, _, status, n_sub = carry
         return (sout - t > done_tol) & (status == 0) & (n_sub < cfg.max_substeps)
 
     def body(carry):
-        t, vv, h, k1, k1_st, status, n_sub = carry
+        t, vv, h, k1, k1_st, resid, chk, status, n_sub = carry
         h_try = jnp.minimum(h, sout - t)
-        v5, err, rhs_status, k7, k7_st = _dopri_step(f, t, vv, h_try, k1, k1_st)
+        v5, err, rhs_status, k7, k7_st, resid5, chk5 = _dopri_step(
+            f, f_check, t, vv, h_try, k1, k1_st)
 
         tol = ab + rel * jnp.maximum(jnp.abs(vv), jnp.abs(v5))
         err_ratio = jnp.max(jnp.abs(err) / tol)
@@ -118,6 +141,8 @@ def rk45_step_carried(cfg, params, s, v, h0, f1, st1):
         v_new = jnp.where(accept, v5, vv)
         k1_new = jnp.where(accept, k7, k1)
         k1_st_new = jnp.where(accept, k7_st, k1_st)
+        resid_new = jnp.where(accept, resid5, resid)
+        chk_new = jnp.where(accept, chk5, chk)
 
         safe_ratio = jnp.maximum(err_ratio, constants.SAFE_TINY)
         factor = jnp.clip(_SAFETY * safe_ratio ** (-0.2), _MIN_FACTOR, _MAX_FACTOR)
@@ -128,10 +153,12 @@ def rk45_step_carried(cfg, params, s, v, h0, f1, st1):
             (~accept) & (h_try <= h_min) & (status == 0),
             jnp.int32(StopCode.ODE_TOTAL_ERROR), status,
         )
-        return t_new, v_new, h_new, k1_new, k1_st_new, status, n_sub + 1
+        return (t_new, v_new, h_new, k1_new, k1_st_new, resid_new, chk_new,
+                status, n_sub + 1)
 
     h_start = jnp.clip(h0, h_min, jnp.abs(ds))
-    init = (s, v, h_start, f1, st1, jnp.int32(StopCode.OK), jnp.int32(0))
+    init = (s, v, h_start, f1, st1, jnp.zeros((), dt),
+            jnp.int32(StopCode.OK), jnp.int32(StopCode.OK), jnp.int32(0))
     n_scan = int(getattr(cfg, "sg_scan_substeps", 0))
     if n_scan > 0:
         # reverse-differentiable form: a fixed-length scan with masked
@@ -145,13 +172,14 @@ def rk45_step_carried(cfg, params, s, v, h0, f1, st1):
             keep = lambda a, b: jnp.where(done, a, b)
             return tuple(map(keep, carry, new)), None
 
-        (t_f, v_f, h_f, _, _, status, _), _ = jax.lax.scan(
-            scan_body, init, None, length=n_scan)
+        (t_f, v_f, h_f, k_f, k_st_f, resid_f, chk_f, status, _), _ = (
+            jax.lax.scan(scan_body, init, None, length=n_scan))
     else:
-        t_f, v_f, h_f, _, _, status, _ = jax.lax.while_loop(cond, body, init)
+        t_f, v_f, h_f, k_f, k_st_f, resid_f, chk_f, status, _ = (
+            jax.lax.while_loop(cond, body, init))
     # substep budget exhausted without reaching sout -> tolerance failure
     status = jnp.where(
         (status == 0) & (sout - t_f > done_tol),
         jnp.int32(StopCode.ODE_TOTAL_ERROR), status,
     )
-    return v_f, status, h_f
+    return v_f, status, h_f, k_f, k_st_f, resid_f, chk_f

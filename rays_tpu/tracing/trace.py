@@ -124,15 +124,25 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
     stage (rhs.eqn_ray_and_check), so each outer step pays 4 equilibrium
     evaluations instead of the reference's 5 (check_save.f90 re-evaluates
     what eqn_ray's next k1 recomputes)."""
-    step_fn = get_carried_step_fn(cfg)
+    sg = cfg.ode_solver_name == "SG_ODE"
     ds, s_max = params.ode.ds, params.ode.s_max
 
     combined_v = jax.vmap(
         lambda s, v: rhs_mod.eqn_ray_and_check(cfg, params, s, v),
         in_axes=(None, 0))
-    step_v = jax.vmap(
-        lambda s, v, h, f1, st1: step_fn(cfg, params, s, v, h, f1, st1),
-        in_axes=(None, 0, 0, 0, 0))
+    if sg:
+        # the adaptive stepper's FSAL 7th stage IS the endpoint
+        # evaluation: it returns the next step's first stage AND the
+        # check_save values from the same equilibrium eval
+        step_full_v = jax.vmap(
+            lambda s, v, h, f1, st1: rk45.rk45_step_carried_full(
+                cfg, params, s, v, h, f1, st1),
+            in_axes=(None, 0, 0, 0, 0))
+    else:
+        step_v = jax.vmap(
+            lambda s, v, h, f1, st1: rk4.rk4_step_carried(
+                cfg, params, s, v, h, f1, st1),
+            in_axes=(None, 0, 0, 0, 0))
 
     # initial validity check (ray_tracing.f90:100-112); the initial residual
     # is recorded as 0 ("assume initial k solves the dispersion relation",
@@ -151,11 +161,14 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
         )
         active = status == 0
 
-        v_new, solver_st, h_new = step_v(s, v, hstate, f1, st1)
+        if sg:
+            (v_new, solver_st, h_new, f_new, rhs_st_new, resid,
+             check_st) = step_full_v(s, v, hstate, f1, st1)
+        else:
+            v_new, solver_st, h_new = step_v(s, v, hstate, f1, st1)
+            f_new, rhs_st_new, resid, check_st = combined_v(sout, v_new)
         status = jnp.where(active & (solver_st != 0), solver_st, status)
         accepted = active & (solver_st == 0)
-
-        f_new, rhs_st_new, resid, check_st = combined_v(sout, v_new)
         status = jnp.where(accepted & (check_st != 0), check_st, status)
         ok = accepted & (check_st == 0)
 
