@@ -327,6 +327,7 @@ def from_namelist(nml: dict, input_dir="."):
     ode = nml.get("ode_list", {})
     sg = nml.get("sg_ode_list", {})
     ri = nml.get("ray_init_list", {})
+    rres = nml.get("ray_results_list", {})
 
     sp_raw, nspec, spec_names = species_from_namelist(nml)
     ns = nspec + 1
@@ -422,6 +423,10 @@ def from_namelist(nml: dict, input_dir="."):
         verbosity=int(_get(diag, "verbosity", 0)),
         write_formatted_ray_files=bool(
             _get(diag, "write_formatted_ray_files", False)),
+        write_results_list_directed=bool(
+            _get(rres, "write_results_list_directed", False)),
+        write_results_netcdf=bool(
+            _get(rres, "write_results_netcdf", False)),
         ode_solver_name=_get(ode, "ode_solver_name", "RK4_ODE"),
         # 'numerical' (the reference's FD A/B) maps to the jax.grad path
         ray_deriv_name={"cold": "cold", "numerical": "autodiff",

