@@ -200,20 +200,37 @@ def write_graphics_description(cfg, params,
 
 
 def process(cfg, params, results, z_reference=None, do_ox_analysis=True,
-            calculate_ray_diag=False):
+            calculate_ray_diag=False, knobs=None):
+    """``knobs`` carries the &mirror_processor_list namelist group
+    (mirror_processor_m.f90:95-101): XZ-grid sizes N_pointsX_eq/
+    N_pointsZ_eq, radial grid n_AphiN, z_reference, the write_* file
+    gates, do_OX_conv_analysis, and the plot-vector controls."""
+    k = {str(a).lower(): b for a, b in (knobs or {}).items()}
     out = {}
-    out["eq_contours"] = write_eq_contours(cfg, params)
+    if bool(k.get("write_contour_data",
+                  k.get("write_eq_xz_grid_data", True))):
+        out["eq_contours"] = write_eq_contours(
+            cfg, params, n_x=int(k.get("n_pointsx_eq", 51)),
+            n_z=int(k.get("n_pointsz_eq", 101)))
+    if z_reference is None and "z_reference" in k:
+        z_reference = float(k["z_reference"])
     zr = z_reference if z_reference is not None else \
         0.5 * (float(params.eq.box_zmin) + float(params.eq.box_zmax))
-    out["radial_profiles"] = write_radial_profiles(cfg, params, zr)
+    if bool(k.get("write_eq_radial_profile_data", True)):
+        out["radial_profiles"] = write_radial_profiles(
+            cfg, params, zr, n_points=int(k.get("n_aphin", 51)))
     out["graphics_description"] = write_graphics_description(
-        cfg, params, z_reference=zr)
+        cfg, params, z_reference=zr,
+        num_plot_k_vectors=int(k.get("num_plot_k_vectors", 0)),
+        scale_k_vec=str(k.get("scale_k_vec", "True")),
+        k_vec_base_length=float(k.get("k_vec_base_length", 0.02)),
+        set_xy_lim=str(k.get("set_xy_lim", "True")))
     if calculate_ray_diag:
         from rays_tpu.post import ray_diags
 
         out["ray_diags_nc"] = ray_diags.write_ray_diagnostics_nc(
             cfg, params, results)
-    if do_ox_analysis:
+    if do_ox_analysis and bool(k.get("do_ox_conv_analysis", True)):
         from rays_tpu.post import ox_conversion
 
         conv = ox_conversion.ox_conv_analysis(cfg, params, results)

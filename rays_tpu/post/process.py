@@ -112,10 +112,29 @@ def load_results_ascii(run_label, directory="."):
     )
 
 
+# namelist group feeding each geometry processor (each *_processor_m.f90
+# reads its own group from post_process_rays.in)
+PROCESSOR_GROUP = {
+    "slab": "slab_processor_list",
+    "solovev": "solovev_processor_list",
+    "axisym_toroid": "axisym_toroid_processor_list",
+    "multiple_mirror": "mirror_processor_list",
+}
+
+
 def post_process(cfg, params, results, rindex_vec0=None, pp_config=None):
-    """Dispatch the geometry processor (post_processing_m.f90:194-226)."""
+    """Dispatch the geometry processor (post_processing_m.f90:194-226).
+
+    ``pp_config['processor_knobs']`` carries the processor-specific
+    namelist group (slab_processor_m.f90:56-59,
+    axisym_toroid_processor_m.f90:59-64, mirror_processor_m.f90:95-101,
+    solovev_processor_m.f90:32), read by ``main`` from
+    post_process_rays.in; its calculate_dep_profiles /
+    write_dep_profiles / calculate_ray_diag gates are honored here."""
     pp_config = pp_config or {}
     processor = pp_config.get("processor", cfg.equilib_model)
+    knobs = {str(a).lower(): b
+             for a, b in (pp_config.get("processor_knobs") or {}).items()}
 
     out = {}
     if processor in ("slab",):
@@ -124,31 +143,38 @@ def post_process(cfg, params, results, rindex_vec0=None, pp_config=None):
         if rindex_vec0 is None:
             rindex_vec0 = np.asarray(results.start_ray_vec[:, 3:6]) / float(
                 params.rf.k0)
-        out.update(slab_processor.process(cfg, params, results, rindex_vec0))
+        out.update(slab_processor.process(cfg, params, results, rindex_vec0,
+                                          knobs=knobs))
     elif processor in ("solovev", "axisym_toroid"):
         from rays_tpu.post import toroid_processor
 
-        out.update(toroid_processor.process(cfg, params, results))
+        out.update(toroid_processor.process(cfg, params, results,
+                                            knobs=knobs))
     elif processor in ("multiple_mirror",):
         from rays_tpu.post import mirror_processor
 
         out.update(mirror_processor.process(
             cfg, params, results,
             z_reference=pp_config.get("z_reference"),
-            do_ox_analysis=bool(pp_config.get("do_ox_conv_analysis", True))))
+            do_ox_analysis=bool(pp_config.get("do_ox_conv_analysis", True)),
+            knobs=knobs))
     else:
         raise ValueError(f"post_process: unknown processor {processor}")
 
     # per-ray detailed diagnostics netCDF (the reference's
     # calculate_ray_diag flag, slab_processor_m.f90:109 et al.)
-    if pp_config.get("calculate_ray_diag"):
+    if bool(knobs.get("calculate_ray_diag",
+                      pp_config.get("calculate_ray_diag", False))) \
+            and "ray_diags_nc" not in out:
         from rays_tpu.post import ray_diags
 
         out["ray_diags_nc"] = ray_diags.write_ray_diagnostics_nc(
             cfg, params, results)
 
-    # deposition profiles when a damping model ran
-    if cfg.damping_slot >= 0:
+    # deposition profiles when a damping model ran (namelist gate
+    # calculate_dep_profiles, reference default .true.)
+    if cfg.damping_slot >= 0 and bool(
+            knobs.get("calculate_dep_profiles", True)):
         from rays_tpu.post import deposition
 
         n_bins = int(pp_config.get("n_bins", 50))
@@ -160,11 +186,13 @@ def post_process(cfg, params, results, rindex_vec0=None, pp_config=None):
                 xmin, xmax = 0.0, 1.0
             out[name] = deposition.calculate_deposition_profile(
                 cfg, params, results, name, n_bins=n_bins, xmin=xmin, xmax=xmax)
-        # file outputs: netCDF always (the RAYS_P product consumed by
-        # P_profiles/plot_profiles), LD on the reference's namelist flag
+        # file outputs: netCDF on write_dep_profiles (reference default
+        # .true.; the RAYS_P product consumed by P_profiles/plot_profiles),
+        # LD on the reference's namelist flag
         # (deposition_profiles_m.f90:83,296)
-        out["deposition_nc"] = deposition.write_deposition_profiles_nc(
-            cfg, params, results, n_bins=n_bins)
+        if bool(knobs.get("write_dep_profiles", True)):
+            out["deposition_nc"] = deposition.write_deposition_profiles_nc(
+                cfg, params, results, n_bins=n_bins)
         if pp_config.get("write_results_list_directed"):
             out["deposition_ld"] = deposition.write_deposition_profiles_ld(
                 cfg, params, results, n_bins=n_bins)
@@ -196,6 +224,17 @@ def main(argv=None):
         nml = read_namelist_file(args.pp)
         pp_cfg.update(nml.get("post_process_list", {}))
         pp_cfg.update(nml.get("deposition_profiles_list", {}))
+        # the processor-specific namelist group (each *_processor_m.f90
+        # reads its own group); file-driven runs get the reference's
+        # .true. defaults for the calculate/write gates
+        processor = str(pp_cfg.get("processor", cfg.equilib_model))
+        group = PROCESSOR_GROUP.get(processor)
+        knobs = {str(a).lower(): b
+                 for a, b in nml.get(group, {}).items()} if group else {}
+        knobs.setdefault("calculate_dep_profiles", True)
+        knobs.setdefault("write_dep_profiles", True)
+        knobs.setdefault("calculate_ray_diag", True)
+        pp_cfg["processor_knobs"] = knobs
     # ray_data_input_mode = NC | LD | ASCII, filenames constructed from the
     # run label exactly as the reference (post_processing_m.f90:159-187)
     mode = str(pp_cfg.get("ray_data_input_mode", "NC")).strip().upper()

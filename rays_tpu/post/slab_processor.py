@@ -210,13 +210,26 @@ def write_graphics_description(cfg, params, path="graphics_description_slab.dat"
     return path
 
 
-def process(cfg, params, results, rindex_vec0):
+def process(cfg, params, results, rindex_vec0, knobs=None):
     """Full slab post-processing pass (the RAYS_P / post_process_RAYS
-    equivalent for slab geometry)."""
+    equivalent for slab geometry).  ``knobs`` carries the
+    &slab_processor_list namelist group (slab_processor_m.f90:56-59):
+    plot-vector controls into the graphics description, ``n_X`` as the
+    equilibrium-profile grid size, ``write_eq_X_profile_data`` as the
+    profile-file gate."""
+    k = {str(a).lower(): b for a, b in (knobs or {}).items()}
     out = {}
     out["res_and_cuts"] = find_res_and_cuts(cfg, params, rindex_vec0)
-    out["eq_profiles"] = write_eq_profiles(cfg, params)
+    if bool(k.get("write_eq_x_profile_data", True)):
+        out["eq_profiles"] = write_eq_profiles(
+            cfg, params, n_points=int(k.get("n_x", 101)))
     out["kx_profiles"] = write_kx_profiles(cfg, params, rindex_vec0)
     out["kx_profiles_text"] = write_kx_profiles_text(cfg, params, rindex_vec0)
-    out["graphics_description"] = write_graphics_description(cfg, params)
+    out["graphics_description"] = write_graphics_description(
+        cfg, params,
+        num_plot_k_vectors=int(k.get("num_plot_k_vectors", 5)),
+        scale_k_vec=str(k.get("scale_k_vec", "max_len")),
+        k_vec_base_length=float(k.get("k_vec_base_length", 0.05)),
+        set_xy_lim=str(k.get("set_xy_lim", "true")),
+    )
     return out

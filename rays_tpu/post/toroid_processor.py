@@ -45,9 +45,11 @@ def _axis_of(cfg, params):
     return float(params.eq.rmaj), 0.0
 
 
-def find_plasma_boundary(cfg, params, n_theta: int = 64, r_max: float = 3.0):
+def find_plasma_boundary(cfg, params, n_theta: int = 64, r_max: float = 3.0,
+                         eps: float = 1e-6):
     """(R, Z) points of the psiN = 1 surface found by bisection along rays
-    from the axis (axisym_toroid_processor_m.f90:131)."""
+    from the axis (axisym_toroid_processor_m.f90:131); ``eps`` is the
+    namelist ``bisection_eps``."""
     psiN = _psiN_fn(cfg, params)
     r_axis, z_axis = _axis_of(cfg, params)
     thetas = np.linspace(0.0, 2 * np.pi, n_theta, endpoint=False)
@@ -58,7 +60,7 @@ def find_plasma_boundary(cfg, params, n_theta: int = 64, r_max: float = 3.0):
             z = z_axis + t * jnp.sin(theta)
             return psiN(jnp.stack([r, jnp.zeros_like(r), z]))
 
-        t, ok = bisect.solve_bisection(f, 1.0, 1e-6, r_max)
+        t, ok = bisect.solve_bisection(f, 1.0, eps, r_max)
         return t, ok
 
     t, ok = jax.jit(jax.vmap(one))(jnp.asarray(thetas))
@@ -151,11 +153,13 @@ def write_radial_profiles(cfg, params, n_points=101, out_prefix=None):
 def write_graphics_description(cfg, params,
                                path="graphics_description_axisym_toroid.dat",
                                num_plot_k_vectors=5, scale_k_vec="True",
-                               k_vec_base_length=0.05, set_xy_lim="True"):
+                               k_vec_base_length=0.05, set_xy_lim="True",
+                               bisection_eps=1e-6):
     """Exactly the keys plot_RAYS_axisym_toroid.py reads (:93-112,364-373)
     — or, for the solovev geometry, plot_RAYS_solovev.py (:76-81,204-211,
     265-291, which additionally wants rmaj/kappa for its own psi contour)."""
-    rb, zb, _ = find_plasma_boundary(cfg, params, n_theta=32)
+    rb, zb, _ = find_plasma_boundary(cfg, params, n_theta=32,
+                                     eps=bisection_eps)
     with open(path, "w") as f:
         f.write(f" run_description = {cfg.run_description}\n")
         f.write(f" run_label = {cfg.run_label}\n")
@@ -269,17 +273,40 @@ def write_normalized_psi_nc(cfg, params, n_r=65, n_z=65, path=None):
     return fname
 
 
-def process(cfg, params, results):
+def process(cfg, params, results, knobs=None):
+    """``knobs`` carries the &axisym_toroid_processor_list /
+    &solovev_processor_list namelist group
+    (axisym_toroid_processor_m.f90:59-64, solovev_processor_m.f90:32):
+    RZ-grid sizes N_pointsR_eq/N_pointsZ_eq, radial grid n_psiN (n_rho
+    accepted as the fallback — our radial writer emits the psiN-grid
+    curves), bisection_eps, the write_* file gates, and the plot-vector
+    controls."""
+    k = {str(a).lower(): b for a, b in (knobs or {}).items()}
+    beps = float(k.get("bisection_eps", 1e-6))
+    n_r = int(k.get("n_pointsr_eq", 65))
+    n_z = int(k.get("n_pointsz_eq", 65))
     out = {}
-    rb, zb, ok = find_plasma_boundary(cfg, params)
+    rb, zb, ok = find_plasma_boundary(cfg, params, eps=beps)
     out["boundary"] = (rb, zb)
-    out["contours"] = write_eq_contour_grids(cfg, params)
-    out["eq_contours"] = write_eq_contours(cfg, params)
-    out["normalized_psi"] = write_normalized_psi_nc(cfg, params)
-    out["profiles"] = write_radial_profiles(cfg, params)
+    if bool(k.get("write_contour_data", True)):
+        out["contours"] = write_eq_contour_grids(cfg, params, n_r=n_r,
+                                                 n_z=n_z)
+    if bool(k.get("write_eq_rz_grid_data", True)):
+        out["eq_contours"] = write_eq_contours(cfg, params, n_r=n_r, n_z=n_z)
+        out["normalized_psi"] = write_normalized_psi_nc(cfg, params, n_r=n_r,
+                                                        n_z=n_z)
+    if bool(k.get("write_eq_radial_profile_data", True)):
+        out["profiles"] = write_radial_profiles(
+            cfg, params, n_points=int(k.get("n_psin", k.get("n_rho", 101))))
     gd_path = ("graphics_description_solovev.dat"
                if cfg.equilib_model == "solovev"
                else "graphics_description_axisym_toroid.dat")
     out["graphics_description"] = write_graphics_description(
-        cfg, params, path=gd_path)
+        cfg, params, path=gd_path,
+        num_plot_k_vectors=int(k.get("num_plot_k_vectors", 5)),
+        scale_k_vec=str(k.get("scale_k_vec", "True")),
+        k_vec_base_length=float(k.get("k_vec_base_length", 0.05)),
+        set_xy_lim=str(k.get("set_xy_lim", "True")),
+        bisection_eps=beps,
+    )
     return out
