@@ -36,7 +36,11 @@ import rays_tpu  # noqa: F401
 from rays_tpu import examples
 from rays_tpu.tracing import trace as trace_mod
 
-BASELINE_RAYS_PER_S = 1.0e3  # pinned single-core Fortran estimate, see above
+# Pinned single-core Fortran estimate, see above.  Epistemic status: this
+# is a reasoned ESTIMATE, not a measurement — no Fortran toolchain exists
+# in this environment and the reference publishes no numbers (PARITY.md
+# header); vs_baseline ratios inherit that caveat.
+BASELINE_RAYS_PER_S = 1.0e3
 # BASELINE.md headline: 1e5 rays + full adjoint in under the Fortran
 # wall-clock for 100 rays = 100 / BASELINE_RAYS_PER_S seconds
 HEADLINE_RAYS = 100_000

@@ -46,6 +46,7 @@ NAMELIST_CATALOG = {
     "solovev_magnetics_list": ["rmaj", "outer_boundary", "kappa", "bphi0",
                                "iota0", "box_rmin..box_zmax"],
     "eqdsk_magnetics_spline_interp_list": ["eqdsk_file_name"],
+    "eqdsk_magnetics_lin_interp_list": ["eqdsk_file_name"],
     "multiple_mirror_eq_list": ["magnetics_model", "plasma_AphiN_limit",
                                 "density_prof_model", "d_scrape_off",
                                 "alphan1", "alphan2", "Aphin0_d", "delta_d",
@@ -83,7 +84,67 @@ NAMELIST_CATALOG = {
                          "write_results_netCDF"],
     "post_process_list": ["processor", "ray_data_input_mode"],
     "deposition_profiles_list": ["n_bins"],
+    "slab_processor_list": ["num_plot_k_vectors", "scale_k_vec",
+                            "k_vec_base_length", "set_XY_lim", "n_X",
+                            "calculate_dep_profiles", "write_dep_profiles",
+                            "calculate_ray_diag",
+                            "write_eq_X_profile_data"],
+    "solovev_processor_list": ["processor", "num_plot_k_vectors",
+                               "scale_k_vec", "set_XY_lim"],
+    "axisym_toroid_processor_list": [
+        "num_plot_k_vectors", "scale_k_vec", "k_vec_base_length",
+        "set_XY_lim", "calculate_dep_profiles", "write_dep_profiles",
+        "calculate_ray_diag", "write_contour_data", "N_pointsR_eq",
+        "N_pointsZ_eq", "write_eq_RZ_grid_data",
+        "write_eq_radial_profile_data", "n_psiN", "bisection_eps",
+        "n_rho"],
+    "mirror_processor_list": [
+        "num_plot_k_vectors", "scale_k_vec", "k_vec_base_length",
+        "set_XY_lim", "calculate_dep_profiles", "write_dep_profiles",
+        "calculate_ray_diag", "write_contour_data", "N_pointsX_eq",
+        "N_pointsZ_eq", "write_eq_XZ_grid_data",
+        "write_eq_radial_profile_data", "n_AphiN", "bisection_eps",
+        "n_rho", "z_reference", "do_OX_conv_analysis"],
 }
+
+
+def accepted_namelist_groups():
+    """The namelist group names the importers actually accept, extracted
+    from the source (AST) of the entry points that read parsed namelists —
+    the from-source philosophy of the reference's doc extractor
+    (doc/doc_modules.py:1-18).  NAMELIST_CATALOG is test-synced against
+    this set (tests/test_run_io.py) so the hand-written key prose above
+    cannot silently omit a group the code handles."""
+    srcs = [os.path.join(PKG_ROOT, "config", "schema.py"),
+            os.path.join(PKG_ROOT, "post", "process.py"),
+            os.path.join(PKG_ROOT, "rayinit", "file_input.py"),
+            os.path.join(PKG_ROOT, "run.py")]
+    groups = set()
+    for path in srcs:
+        tree = ast.parse(open(path).read())
+        for node in ast.walk(tree):
+            # nml.get("group", ...) — the importer's accept pattern
+            if (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "get"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "nml"
+                    and node.args
+                    and isinstance(node.args[0], ast.Constant)
+                    and isinstance(node.args[0].value, str)):
+                groups.add(node.args[0].value.lower())
+            # nml["group"] — the required-group pattern
+            if (isinstance(node, ast.Subscript)
+                    and isinstance(node.value, ast.Name)
+                    and node.value.id == "nml"
+                    and isinstance(node.slice, ast.Constant)
+                    and isinstance(node.slice.value, str)):
+                groups.add(node.slice.value.lower())
+    # processor groups are accepted by name through this table
+    from rays_tpu.post.process import PROCESSOR_GROUP
+
+    groups.update(g.lower() for g in PROCESSOR_GROUP.values())
+    return groups
 
 
 def extract_module_docs():
