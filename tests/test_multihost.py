@@ -115,6 +115,94 @@ def test_two_process_distributed_smoke():
         assert "OK slice" in out
 
 
+def test_sharded_forward_hlo_is_collective_free():
+    """Compile the production sharded tracer on a virtual 8-device CPU
+    mesh and assert the optimized HLO contains NO collectives (the
+    'embarrassingly parallel' claim of parallel/sharded.py:7-9, checked
+    rather than asserted — a silent resharding would destroy the
+    multi-chip headline math), and that tracing + deposition lowers to
+    exactly reduce-type collectives (the psum over rays), never an
+    all-to-all or a forward all-gather."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    prog = textwrap.dedent("""
+        import dataclasses, re
+        import jax
+        import jax.numpy as jnp
+        jax.config.update("jax_enable_x64", True)
+        from rays_tpu import examples
+        from rays_tpu.parallel import sharded
+        from rays_tpu.post import deposition
+        from rays_tpu.tracing import trace as trace_mod
+
+        assert len(jax.devices()) == 8, jax.devices()
+        cfg, params, v0, st, pwr = examples.setup_example(
+            examples.SLAB_ECH_DAMPED)
+        cfg = dataclasses.replace(cfg, nstep_max=10, save_trajectory=False)
+        mesh = sharded.make_ray_mesh()
+        v0, st, pwr, _ = sharded.pad_rays(v0, st, pwr, 8)
+
+        COLLECTIVES = ("all-reduce", "all-gather", "all-to-all",
+                       "collective-permute", "reduce-scatter",
+                       "collective-broadcast")
+        def ops(hlo):
+            found = set()
+            for ln in hlo.splitlines():
+                s = ln.strip()
+                for c in COLLECTIVES:
+                    # match op instances ('%x = ... all-reduce(...)'),
+                    # not metadata/backend-config mentions
+                    if re.search(rf'= [^=]*\\b{c}\\b', s):
+                        found.add(c)
+            return found
+
+        tracer = sharded.make_sharded_tracer(cfg, mesh)
+        fwd_hlo = tracer.lower(params, v0, st, pwr).compile().as_text()
+        fwd = ops(fwd_hlo)
+        assert fwd == set(), f"forward trace has collectives: {fwd}"
+
+        ray_sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("rays"))
+        repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        xmin, xmax = float(params.eq.xmin), float(params.eq.xmax)
+        # deposition consumes the trajectory, so it needs save_trajectory
+        # (with it off the profile constant-folds to zero)
+        cfg_dep = dataclasses.replace(cfg, save_trajectory=True)
+        def trace_and_deposit(p, v, s, w):
+            res = trace_mod.trace_batch(cfg_dep, p, v, s, w)
+            prof = deposition.calculate_deposition_profile(
+                cfg_dep, p, res, "Ptotal_x", n_bins=8, xmin=xmin, xmax=xmax)
+            return prof.profile
+        dep = jax.jit(trace_and_deposit,
+                      in_shardings=(repl, ray_sh, ray_sh, ray_sh),
+                      out_shardings=repl)
+        dep_hlo = dep.lower(params, v0, st, pwr).compile().as_text()
+        got = ops(dep_hlo)
+        assert got, "deposition reduce over shards missing entirely"
+        reduce_ops = {"all-reduce", "reduce-scatter"}
+        assert got <= reduce_ops | {"all-gather"}, got
+        assert got & reduce_ops, got
+        # the all-gather, if present, may only rebuild the replicated
+        # profile AFTER the reduce — never gather raw per-ray data
+        assert "all-to-all" not in got and "collective-permute" not in got
+        print("OK forward-collective-free; deposition:", sorted(got))
+    """)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+              "AXON_LOOPBACK_RELAY"):
+        env.pop(k, None)
+    proc = subprocess.run([sys.executable, "-c", prog],
+                          capture_output=True, text=True, env=env,
+                          timeout=600)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "OK forward-collective-free" in proc.stdout
+
+
 def test_distribute_rays_roundtrip():
     mesh = multihost.global_ray_mesh()
     n = 2 * len(jax.devices())
