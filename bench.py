@@ -110,6 +110,67 @@ def _jaxpr_flops(jaxpr) -> float:
     return total
 
 
+def _count_gathers(jaxpr) -> int:
+    """Number of gather ops in a jaxpr (recursing into sub-jaxprs x scan
+    trip counts).  Built from the per-ray step jaxpr, each gather op
+    fetches one row per ray — so this count IS gathers/ray/step."""
+    total = 0
+    for eqn in jaxpr.eqns:
+        mult = 1
+        sub = []
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):
+                sub.append(v.jaxpr if hasattr(v.jaxpr, "eqns") else v)
+            elif isinstance(v, (list, tuple)):
+                sub.extend(x.jaxpr for x in v if hasattr(x, "jaxpr"))
+        if eqn.primitive.name == "scan":
+            mult = int(eqn.params.get("length", 1))
+        if sub:
+            total += mult * sum(_count_gathers(s) for s in sub)
+        if eqn.primitive.name in ("gather", "dynamic_slice"):
+            total += 1
+    return total
+
+
+def _step_gathers(cfg, params, v0):
+    """Gathers per ray per outer step of the production scan body (one
+    carried-stage RK4 step + the shared endpoint eval)."""
+    from rays_tpu.tracing import rhs as rhs_mod, rk4
+
+    v = v0[0]
+    h = jnp.zeros((), v.dtype)
+    s = jnp.zeros((), v.dtype)
+    f1, st1 = rhs_mod.eqn_ray(cfg, params, s, v)
+    step_jx = jax.make_jaxpr(
+        lambda vv, ff: rk4.rk4_step_carried(cfg, params, s, vv, h, ff, st1))(
+            v, f1)
+    end_jx = jax.make_jaxpr(
+        lambda vv: rhs_mod.eqn_ray_and_check(cfg, params, s, vv))(v)
+    return _count_gathers(step_jx.jaxpr) + _count_gathers(end_jx.jaxpr)
+
+
+def _measure_gather_rate(n_rows=N_RAYS, iters=200, row_width=48):
+    """Measured TPU gather throughput (points/s) in the production regime:
+    a batched single-axis row gather (jnp.take) from an HBM-resident
+    table, inside a lax.scan so the ~25-30 ms tunnel dispatch overhead
+    amortizes away.  This is the same gather form ops/splines.py emits
+    (start_index_map={0}); the result prices the spline-geometry
+    roofline."""
+    table = jnp.arange(4096 * row_width, dtype=jnp.float32
+                       ).reshape(4096, row_width)
+    idx0 = jnp.arange(n_rows, dtype=jnp.int32) % 4096
+
+    def body(i, _):
+        row = jnp.take(table, i, axis=0)          # (n_rows, row_width)
+        # data-dependent next index: the gather chain cannot be hoisted
+        i = (i + row[:, 0].astype(jnp.int32) % 7 + 1) % 4096
+        return i, None
+
+    run = jax.jit(lambda i0: jax.lax.scan(body, i0, None, length=iters)[0])
+    sec, _ = _time(run, idx0)
+    return n_rows * iters / sec
+
+
 def _step_flops(cfg, params, v0):
     """FLOPs per ray per outer step, mirroring the production scan body:
     one carried-stage RK4 step (3 fresh RHS evals) + the shared endpoint
@@ -161,6 +222,15 @@ def bench_slab(extra):
             flops / fwd_times["f32"] / 1.9e12, 4)
     except Exception as e:  # noqa: BLE001  (estimate is best-effort)
         extra["flops_note"] = f"flop estimate unavailable: {e}"
+
+    # --- compensated-summation mode (tracing/compensated.py): measured
+    # overhead of the TwoSum carry; trajectories are bit-identical to
+    # plain f32 (accuracy findings: BASELINE.md precision section) ---
+    cfg_comp = dataclasses.replace(cfg, compensated_sum=True)
+    tracer_c = jax.jit(
+        lambda p, v, st, w: trace_mod.trace_batch(cfg_comp, p, v, st, w))
+    sec_c, _ = _time(tracer_c, p32, v32, status0, w32)
+    extra["rays_per_s_forward_f32_compensated"] = round(N_RAYS / sec_c, 1)
 
     # --- saturated-batch forward (the throughput ceiling; the batch-size
     # sweep artifact is scripts/run_batch_scan.py -> artifacts/) ---
@@ -290,6 +360,22 @@ def bench_mirror_spline(extra):
     extra["rays_per_s_mirror_adjoint_f32"] = round(n / sec_adj, 1)
     extra["mirror_adjoint_over_forward_f32"] = round(sec_adj / sec32, 2)
 
+    # gather roofline (VERDICT r4 next #6): the spline path is bound by
+    # the TPU gather point rate, not the VPU flop rate — state the bound
+    # next to the measurement
+    try:
+        g_per_step = _step_gathers(cfg, p32, v32)
+        rate = extra.get("measured_gather_points_per_s") or \
+            _measure_gather_rate()
+        extra["measured_gather_points_per_s"] = round(rate, 0)
+        extra["mirror_gathers_per_ray_step"] = g_per_step
+        bound = rate / (g_per_step * N_STEPS)
+        extra["mirror_gather_roofline_rays_per_s"] = round(bound, 1)
+        extra["mirror_fraction_of_gather_roofline"] = round(
+            (n / sec32) / bound, 3)
+    except Exception as e:  # noqa: BLE001
+        extra["mirror_gather_note"] = f"gather roofline unavailable: {e}"
+
 
 _EQDSK_TOROID_TMPL = """
 &diagnostics_list
@@ -364,6 +450,32 @@ def bench_eqdsk_toroid(extra):
         lambda p, v, st, w: trace_mod.trace_batch(cfg, p, v, st, w))
     sec, _ = _time(tracer, p, v, status0, w)
     extra["rays_per_s_eqdsk_toroid_f32"] = round(n / sec, 1)
+
+    # adjoint through the EQDSK spline path: gradients w.r.t. the psi
+    # cell coefficients (i.e. the equilibrium reconstruction) and all
+    # profile params (the missing BENCH row, VERDICT r4 next #6)
+    def loss_fn(pp, vv, st, ww):
+        res = trace_mod.trace_batch(cfg, pp, vv, st, ww)
+        return jnp.sum(res.end_ray_vec[:, 0:3] ** 2 * ww[:, None])
+
+    grad_step = jax.jit(jax.value_and_grad(loss_fn))
+    sec_adj, _ = _time(grad_step, p, v, status0, w)
+    extra["rays_per_s_eqdsk_adjoint_f32"] = round(n / sec_adj, 1)
+    extra["eqdsk_adjoint_over_forward_f32"] = round(sec_adj / sec, 2)
+
+    # gather roofline for the folded psi-cell fetch
+    try:
+        g_per_step = _step_gathers(cfg, p, v)
+        rate = extra.get("measured_gather_points_per_s") or \
+            _measure_gather_rate()
+        extra["measured_gather_points_per_s"] = round(rate, 0)
+        extra["eqdsk_gathers_per_ray_step"] = g_per_step
+        bound = rate / (g_per_step * N_STEPS)
+        extra["eqdsk_gather_roofline_rays_per_s"] = round(bound, 1)
+        extra["eqdsk_fraction_of_gather_roofline"] = round(
+            (n / sec) / bound, 3)
+    except Exception as e:  # noqa: BLE001
+        extra["eqdsk_gather_note"] = f"gather roofline unavailable: {e}"
 
 
 def main():

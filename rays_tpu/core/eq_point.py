@@ -63,12 +63,16 @@ def derive_eq_point(raw: RawEq, species, rf) -> EqPoint:
     """
     bvec = raw.bvec
     bmag = jnp.sqrt(jnp.sum(bvec**2))
-    safe_bmag = jnp.maximum(bmag, constants.SAFE_TINY)
-    bunit = bvec / safe_bmag
-    # gradbmag[i] = sum_j gradb[i,j] * bunit[j]
-    gradbmag = raw.gradb @ bunit
+    # one reciprocal, multiplied through: a VPU divide costs ~10x a mul
+    # (measured, artifacts/vpu_roofline.txt) and this spot issued 12 of
+    # them per eval
+    inv_bmag = 1.0 / jnp.maximum(bmag, constants.SAFE_TINY)
+    bunit = bvec * inv_bmag
+    # gradbmag[i] = sum_j gradb[i,j] * bunit[j]; broadcast multiply-reduce
+    # beats a vmapped tiny dot_general on the VPU (measured ~5x)
+    gradbmag = jnp.sum(raw.gradb * bunit[None, :], axis=1)
     # gradbunit[i,j] = (gradb[i,j] - gradbmag[i]*bunit[j]) / bmag
-    gradbunit = (raw.gradb - gradbmag[:, None] * bunit[None, :]) / safe_bmag
+    gradbunit = (raw.gradb - gradbmag[:, None] * bunit[None, :]) * inv_bmag
 
     wref = rf.omgrf_ref
     omgc = species.gamma_coef * bmag * wref          # qs*B/ms

@@ -143,6 +143,12 @@ class Config:
     # adjoints at production ray counts/step counts without storing every
     # RK stage (SURVEY.md §5.7); no effect on forward-only runs
     remat_steps: bool = True
+    # compensated (Neumaier) accumulation of the scan carry: f32 runs
+    # keep a per-ray compensation vector so the state-update rounding
+    # (the dominant f32 error term over a long trace) cancels, reaching
+    # near-f64 end-state accuracy at f32 throughput
+    # (tracing/compensated.py; results land in RayResults.end_ray_comp)
+    compensated_sum: bool = False
 
     # ray initialization
     ray_init_model: str = "simple_slab"

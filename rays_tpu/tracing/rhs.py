@@ -58,28 +58,32 @@ def _eqn_ray_from_eq(cfg, params, s, v, eq):
         D = lambda x, k, w: dispersion.dispersion_D(cfg, params, x, k, w)
         dddx, dddk, dddw = jax.grad(D, argnums=(0, 1, 2))(rvec, kvec, omgrf)
     else:
-        dddx, dddk, dddw = deriv_cold_mod.deriv_cold(eq, kvec / k0, omgrf, k0)
+        inv_k0 = 1.0 / k0
+        dddx, dddk, dddw = deriv_cold_mod.deriv_cold(
+            eq, kvec * inv_k0, omgrf, k0)
 
-    # group velocity (eqn_ray.f90:131-144)
+    # group velocity (eqn_ray.f90:131-144).  Reciprocal-multiply forms:
+    # each div fan-out below used to issue 3 VPU divides per eval
     safe_dddw = jnp.where(dddw == 0.0, jnp.asarray(1.0, dt), dddw)
-    vg = -dddk / safe_dddw
+    inv_dddw = 1.0 / safe_dddw
+    vg = -dddk * inv_dddw
     vg0 = jnp.sqrt(jnp.sum(vg**2))
-    vg_unit = vg / jnp.maximum(vg0, tiny)
+    vg_unit = vg * (1.0 / jnp.maximum(vg0, tiny))
 
     dddk_mag = jnp.sqrt(jnp.sum(dddk**2))
-    safe_dddk_mag = jnp.maximum(dddk_mag, tiny)
+    inv_dddk_mag = 1.0 / jnp.maximum(dddk_mag, tiny)
 
     if cfg.ray_param == "arcl":
         # integrate w.r.t. arclength (eqn_ray.f90:150-170).
         # Fortran sign(1., dddw) is +1 at dddw == 0.
         sgn = jnp.where(dddw >= 0.0, 1.0, -1.0).astype(dt)
-        dxds = -sgn * dddk / safe_dddk_mag
-        dkds = sgn * dddx / safe_dddk_mag
+        dxds = -sgn * dddk * inv_dddk_mag
+        dkds = sgn * dddx * inv_dddk_mag
         dsd_ray_param = jnp.asarray(1.0, dt)
     elif cfg.ray_param == "time":
         # integrate w.r.t. time (eqn_ray.f90:172-181)
-        dxds = -dddk / safe_dddw
-        dkds = dddx / safe_dddw
+        dxds = -dddk * inv_dddw
+        dkds = dddx * inv_dddw
         dsd_ray_param = vg0
     else:
         raise ValueError(f"eqn_ray: invalid ray_param {cfg.ray_param}")
@@ -130,10 +134,10 @@ def check_save(cfg, params, v):
 def _check_from_point(cfg, params, alpha, gamma, bunit, err, v):
     """check_save given the already-evaluated plasma state at v[0:3]."""
     kvec = v[3:6]
-    k0 = params.rf.k0
-    k3 = jnp.dot(kvec, bunit)
+    inv_k0 = 1.0 / params.rf.k0
+    k3 = jnp.sum(kvec * bunit)
     k1 = jnp.sqrt(jnp.sum((kvec - k3 * bunit) ** 2))
-    resid = dispersion.residual(alpha, gamma, k1 / k0, k3 / k0)
+    resid = dispersion.residual(alpha, gamma, k1 * inv_k0, k3 * inv_k0)
 
     status = jnp.int32(StopCode.OK)
     if cfg.damping_model != "no_damp":

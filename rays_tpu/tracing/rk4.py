@@ -35,11 +35,20 @@ def rk4_step_carried(cfg, params, s, v, h, f1, st1):
     the caller — the production tracer carries it from the previous step's
     shared endpoint evaluation (rhs.eqn_ray_and_check), cutting the
     per-step equilibrium evals from 5 to 4."""
+    dv, status, h = rk4_step_carried_delta(cfg, params, s, v, h, f1, st1)
+    return v + dv, status, h
+
+
+def rk4_step_carried_delta(cfg, params, s, v, h, f1, st1):
+    """Increment form: returns (dv, status, h) with v_new = v + dv.  The
+    compensated-summation tracer (trace.py, cfg.compensated_sum) needs the
+    raw increment so it can TwoSum it into the carried state instead of
+    losing the low bits of v + dv to f32 rounding."""
     ds = params.ode.ds
     f = lambda ss, vv: rhs_mod.eqn_ray(cfg, params, ss, vv)
     f2, st2 = f(s + ds / 2.0, v + ds * f1 / 2.0)
     f3, st3 = f(s + ds / 2.0, v + ds * f2 / 2.0)
     f4, st4 = f(s + ds, v + ds * f3)
     status = _first_nonzero(st1, st2, st3, st4)
-    v_new = v + ds * (f1 + 2.0 * f2 + 2.0 * f3 + f4) / 6.0
-    return v_new, status, h
+    dv = ds * (f1 + 2.0 * f2 + 2.0 * f3 + f4) / 6.0
+    return dv, status, h

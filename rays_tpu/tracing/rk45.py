@@ -53,7 +53,9 @@ def _dopri_step(f, f_check, t, v, h, k1, k1_st):
     next step's k1 — 6 fresh RHS evals per substep instead of 7).  The
     7th stage uses ``f_check`` (the RHS + check_save from one equilibrium
     eval) so the step's endpoint check rides the same evaluation.
-    Returns (v5, err_vec, status, k7, k7_status, resid, check_status)."""
+    Returns (v5, dv5, err_vec, status, k7, k7_status, resid, check_status)
+    with v5 = v + dv5 (the raw increment feeds the compensated-summation
+    carry, trace.py cfg.compensated_sum)."""
     ks = [k1]
     status = k1_st
     for i in range(1, 6):
@@ -65,17 +67,18 @@ def _dopri_step(f, f_check, t, v, h, k1, k1_st):
         status = jnp.where(status != 0, status, sti)
         ks.append(ki)
     # stage 7: A[6] == B5, so v7 IS the 5th-order solution v5
-    v5 = v
+    dv5 = jnp.zeros_like(v)
     for j, aij in enumerate(_A[6]):
         if aij != 0.0:
-            v5 = v5 + h * aij * ks[j]
+            dv5 = dv5 + h * aij * ks[j]
+    v5 = v + dv5
     k7, st7, resid, chk = f_check(t + _C[6] * h, v5)
     status = jnp.where(status != 0, status, st7)
     ks.append(k7)
     err = jnp.zeros_like(v)
     for bi5, bi4, ki in zip(_B5, _B4, ks):
         err = err + h * (bi5 - bi4) * ki
-    return v5, err, status, k7, status, resid, chk
+    return v5, dv5, err, status, k7, status, resid, chk
 
 
 def rk45_step(cfg, params, s, v, h0):
@@ -94,7 +97,7 @@ def rk45_step_carried(cfg, params, s, v, h0, f1, st1):
     return v_f, status, h_f
 
 
-def rk45_step_carried_full(cfg, params, s, v, h0, f1, st1):
+def rk45_step_carried_full(cfg, params, s, v, h0, f1, st1, c0=None):
     """Advance one outer step ds adaptively, with (f1, st1) = eqn_ray(s, v)
     supplied by the caller (the production tracer carries it from the
     previous step's endpoint stage).  Returns
@@ -103,6 +106,10 @@ def rk45_step_carried_full(cfg, params, s, v, h0, f1, st1):
     accepted substep — and (resid, check_status) are check_save's values
     at the same point from the SAME equilibrium evaluation, so the
     production tracer pays no separate endpoint eval at all.
+
+    ``c0`` (optional) is the compensated-summation carry: when given,
+    accepted substep increments are TwoSummed into (v, c) and the return
+    tuple gains a trailing c_new (trace.py cfg.compensated_sum).
 
     ``h0`` is the converged step size carried over from the previous outer
     step (the SG suite likewise keeps its step/order state across outer
@@ -123,14 +130,26 @@ def rk45_step_carried_full(cfg, params, s, v, h0, f1, st1):
     # round away and the loop could spin until the substep budget dies
     done_tol = jnp.abs(ds) * 1e-10
 
+    comp = c0 is not None
+
     def cond(carry):
-        t, _, _, _, _, _, _, status, n_sub = carry
+        t, status, n_sub = carry[0], carry[-2], carry[-1]
         return (sout - t > done_tol) & (status == 0) & (n_sub < cfg.max_substeps)
 
     def body(carry):
-        t, vv, h, k1, k1_st, resid, chk, status, n_sub = carry
-        h_try = jnp.minimum(h, sout - t)
-        v5, err, rhs_status, k7, k7_st, resid5, chk5 = _dopri_step(
+        if comp:
+            t, vv, h, k1, k1_st, resid, chk, cc, status, n_sub = carry
+        else:
+            t, vv, h, k1, k1_st, resid, chk, status, n_sub = carry
+        # Step sizes are non-differentiated control state: the adjoint of
+        # an adaptive integrator is the discrete adjoint of the FROZEN
+        # accepted-substep sequence (differentiating the error controller
+        # adds only O(local-error) terms and couples every step to every
+        # earlier one through the h carry).  stop_gradient here cuts the
+        # entire controller chain (err -> err_ratio -> factor -> h) out of
+        # the backward pass; primal values are unchanged.
+        h_try = jax.lax.stop_gradient(jnp.minimum(h, sout - t))
+        v5, dv5, err, rhs_status, k7, k7_st, resid5, chk5 = _dopri_step(
             f, f_check, t, vv, h_try, k1, k1_st)
 
         tol = ab + rel * jnp.maximum(jnp.abs(vv), jnp.abs(v5))
@@ -138,7 +157,14 @@ def rk45_step_carried_full(cfg, params, s, v, h0, f1, st1):
         accept = (err_ratio <= 1.0) & (rhs_status == 0)
 
         t_new = jnp.where(accept, t + h_try, t)
-        v_new = jnp.where(accept, v5, vv)
+        if comp:
+            from rays_tpu.tracing.compensated import two_sum_add
+
+            vc, cc5 = two_sum_add(vv, cc, dv5)
+            v_new = jnp.where(accept, vc, vv)
+            cc_new = jnp.where(accept, cc5, cc)
+        else:
+            v_new = jnp.where(accept, v5, vv)
         k1_new = jnp.where(accept, k7, k1)
         k1_st_new = jnp.where(accept, k7_st, k1_st)
         resid_new = jnp.where(accept, resid5, resid)
@@ -146,40 +172,55 @@ def rk45_step_carried_full(cfg, params, s, v, h0, f1, st1):
 
         safe_ratio = jnp.maximum(err_ratio, constants.SAFE_TINY)
         factor = jnp.clip(_SAFETY * safe_ratio ** (-0.2), _MIN_FACTOR, _MAX_FACTOR)
-        h_new = jnp.maximum(h_try * factor, h_min)
+        h_new = jax.lax.stop_gradient(jnp.maximum(h_try * factor, h_min))
 
         status = jnp.where(rhs_status != 0, rhs_status, status)
         status = jnp.where(
             (~accept) & (h_try <= h_min) & (status == 0),
             jnp.int32(StopCode.ODE_TOTAL_ERROR), status,
         )
+        if comp:
+            return (t_new, v_new, h_new, k1_new, k1_st_new, resid_new,
+                    chk_new, cc_new, status, n_sub + 1)
         return (t_new, v_new, h_new, k1_new, k1_st_new, resid_new, chk_new,
                 status, n_sub + 1)
 
     h_start = jnp.clip(h0, h_min, jnp.abs(ds))
-    init = (s, v, h_start, f1, st1, jnp.zeros((), dt),
-            jnp.int32(StopCode.OK), jnp.int32(StopCode.OK), jnp.int32(0))
+    if comp:
+        init = (s, v, h_start, f1, st1, jnp.zeros((), dt),
+                jnp.int32(StopCode.OK), c0, jnp.int32(StopCode.OK),
+                jnp.int32(0))
+    else:
+        init = (s, v, h_start, f1, st1, jnp.zeros((), dt),
+                jnp.int32(StopCode.OK), jnp.int32(StopCode.OK), jnp.int32(0))
     n_scan = int(getattr(cfg, "sg_scan_substeps", 0))
     if n_scan > 0:
-        # reverse-differentiable form: a fixed-length scan with masked
-        # updates replaces the while_loop (lax.while_loop has no
-        # reverse-mode rule).  The substep budget becomes n_scan; the
-        # post-loop ODE_TOTAL_ERROR check below still fires if a ray
-        # needed more.  Used for adjoints through the adaptive path.
-        def scan_body(carry, _):
+        # reverse-differentiable form: a fixed budget of masked substeps
+        # replaces the while_loop (lax.while_loop has no reverse-mode
+        # rule).  The substep budget becomes n_scan; the post-loop
+        # ODE_TOTAL_ERROR check below still fires if a ray needed more.
+        # UNROLLED in Python rather than lax.scan: under the production
+        # tracer's per-outer-step remat, reverse-of-scan would write every
+        # substep's residuals (stage linearization points) to HBM, while
+        # straight-line code stays register/fusion-resident exactly like
+        # the RK4 body — measured 5x cheaper adjoint (BENCH_r05 vs r04).
+        carry = init
+        for _ in range(n_scan):
             done = ~cond(carry)
             new = body(carry)
             keep = lambda a, b: jnp.where(done, a, b)
-            return tuple(map(keep, carry, new)), None
-
-        (t_f, v_f, h_f, k_f, k_st_f, resid_f, chk_f, status, _), _ = (
-            jax.lax.scan(scan_body, init, None, length=n_scan))
+            carry = tuple(map(keep, carry, new))
     else:
-        t_f, v_f, h_f, k_f, k_st_f, resid_f, chk_f, status, _ = (
-            jax.lax.while_loop(cond, body, init))
+        carry = jax.lax.while_loop(cond, body, init)
+    if comp:
+        t_f, v_f, h_f, k_f, k_st_f, resid_f, chk_f, c_f, status, _ = carry
+    else:
+        t_f, v_f, h_f, k_f, k_st_f, resid_f, chk_f, status, _ = carry
     # substep budget exhausted without reaching sout -> tolerance failure
     status = jnp.where(
         (status == 0) & (sout - t_f > done_tol),
         jnp.int32(StopCode.ODE_TOTAL_ERROR), status,
     )
+    if comp:
+        return v_f, status, h_f, k_f, k_st_f, resid_f, chk_f, c_f
     return v_f, status, h_f, k_f, k_st_f, resid_f, chk_f

@@ -26,7 +26,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rays_tpu.tracing import rhs as rhs_mod
+from rays_tpu.tracing import compensated, rhs as rhs_mod
 from rays_tpu.tracing import rk4, rk45
 from rays_tpu.tracing.stop import StopCode
 
@@ -45,6 +45,11 @@ class RayResults(NamedTuple):
     end_ray_parameter: Any  # (B,)
     start_ray_vec: Any      # (B, nv)
     end_ray_vec: Any        # (B, nv)
+    # compensated-summation residual of end_ray_vec (cfg.compensated_sum:
+    # the accumulated state is end_ray_vec + end_ray_comp, to be summed in
+    # f64 at output boundaries — tracing/compensated.resolved); None when
+    # the mode is off
+    end_ray_comp: Any = None
 
 
 def get_step_fn(cfg):
@@ -125,6 +130,7 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
     evaluations instead of the reference's 5 (check_save.f90 re-evaluates
     what eqn_ray's next k1 recomputes)."""
     sg = cfg.ode_solver_name == "SG_ODE"
+    comp = bool(getattr(cfg, "compensated_sum", False))
     ds, s_max = params.ode.ds, params.ode.s_max
 
     combined_v = jax.vmap(
@@ -134,15 +140,27 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
         # the adaptive stepper's FSAL 7th stage IS the endpoint
         # evaluation: it returns the next step's first stage AND the
         # check_save values from the same equilibrium eval
-        step_full_v = jax.vmap(
-            lambda s, v, h, f1, st1: rk45.rk45_step_carried_full(
-                cfg, params, s, v, h, f1, st1),
-            in_axes=(None, 0, 0, 0, 0))
+        if comp:
+            step_full_v = jax.vmap(
+                lambda s, v, h, f1, st1, c: rk45.rk45_step_carried_full(
+                    cfg, params, s, v, h, f1, st1, c),
+                in_axes=(None, 0, 0, 0, 0, 0))
+        else:
+            step_full_v = jax.vmap(
+                lambda s, v, h, f1, st1: rk45.rk45_step_carried_full(
+                    cfg, params, s, v, h, f1, st1),
+                in_axes=(None, 0, 0, 0, 0))
     else:
-        step_v = jax.vmap(
-            lambda s, v, h, f1, st1: rk4.rk4_step_carried(
-                cfg, params, s, v, h, f1, st1),
-            in_axes=(None, 0, 0, 0, 0))
+        if comp:
+            step_delta_v = jax.vmap(
+                lambda s, v, h, f1, st1: rk4.rk4_step_carried_delta(
+                    cfg, params, s, v, h, f1, st1),
+                in_axes=(None, 0, 0, 0, 0))
+        else:
+            step_v = jax.vmap(
+                lambda s, v, h, f1, st1: rk4.rk4_step_carried(
+                    cfg, params, s, v, h, f1, st1),
+                in_axes=(None, 0, 0, 0, 0))
 
     # initial validity check (ray_tracing.f90:100-112); the initial residual
     # is recorded as 0 ("assume initial k solves the dispersion relation",
@@ -151,7 +169,10 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
     status = jnp.where(status0 != 0, status0, chk0)
 
     def body(carry, k):
-        v, f1, st1, hstate, status, nstep, end_res, max_res = carry
+        if comp:
+            v, f1, st1, hstate, status, nstep, end_res, max_res, cvec = carry
+        else:
+            v, f1, st1, hstate, status, nstep, end_res, max_res = carry
         s = k.astype(v.dtype) * ds
         sout = (k + 1).astype(v.dtype) * ds
 
@@ -161,17 +182,28 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
         )
         active = status == 0
 
+        c_new = None
         if sg:
-            (v_new, solver_st, h_new, f_new, rhs_st_new, resid,
-             check_st) = step_full_v(s, v, hstate, f1, st1)
+            if comp:
+                (v_new, solver_st, h_new, f_new, rhs_st_new, resid,
+                 check_st, c_new) = step_full_v(s, v, hstate, f1, st1, cvec)
+            else:
+                (v_new, solver_st, h_new, f_new, rhs_st_new, resid,
+                 check_st) = step_full_v(s, v, hstate, f1, st1)
         else:
-            v_new, solver_st, h_new = step_v(s, v, hstate, f1, st1)
+            if comp:
+                dv, solver_st, h_new = step_delta_v(s, v, hstate, f1, st1)
+                v_new, c_new = compensated.two_sum_add(v, cvec, dv)
+            else:
+                v_new, solver_st, h_new = step_v(s, v, hstate, f1, st1)
             f_new, rhs_st_new, resid, check_st = combined_v(sout, v_new)
         status = jnp.where(active & (solver_st != 0), solver_st, status)
         accepted = active & (solver_st == 0)
         status = jnp.where(accepted & (check_st != 0), check_st, status)
         ok = accepted & (check_st == 0)
 
+        if comp:
+            cvec = jnp.where(ok[:, None], c_new, cvec)
         v = jnp.where(ok[:, None], v_new, v)
         # the endpoint RHS (and its status) becomes the next step's k1; a
         # frozen ray keeps the stage matching its frozen state
@@ -187,21 +219,29 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
             out = (jnp.where(ok[:, None], v, 0.0), jnp.where(ok, resid, 0.0), ok)
         else:
             out = None  # summaries live in the carry: no per-step HBM writes
+        if comp:
+            return (v, f1, st1, hstate, status, nstep, end_res, max_res,
+                    cvec), out
         return (v, f1, st1, hstate, status, nstep, end_res, max_res), out
 
     B = v0.shape[0]
     zero = jnp.zeros((B,), v0.dtype)
     h0 = jnp.full((B,), ds, v0.dtype)
     init = (v0, f1_0, st1_0, h0, status, jnp.zeros((B,), jnp.int32), zero, zero)
+    if comp:
+        init = init + (jnp.zeros_like(v0),)
     # rematerialize per-step internals on the backward pass: reverse-mode
     # through the scan then stores only the (small) carry per step instead
     # of every RK stage/equilibrium intermediate — the memory strategy of
     # SURVEY.md §5.7 that makes production-scale adjoints fit in HBM.
     if getattr(cfg, "remat_steps", True):
         body = jax.checkpoint(body, prevent_cse=False)
-    (v_f, _, _, _, status_f, nstep_f, end_res, max_res), outs = jax.lax.scan(
-        body, init, jnp.arange(cfg.nstep_max)
-    )
+    final, outs = jax.lax.scan(body, init, jnp.arange(cfg.nstep_max))
+    if comp:
+        (v_f, _, _, _, status_f, nstep_f, end_res, max_res, c_f) = final
+    else:
+        (v_f, _, _, _, status_f, nstep_f, end_res, max_res) = final
+        c_f = None
 
     # still-live rays exhausted the step budget (ray_tracing.f90:150-172)
     status_f = jnp.where(status_f == 0, jnp.int32(StopCode.NSTEP_MAX), status_f)
@@ -233,4 +273,5 @@ def trace_batch(cfg, params, v0, status0, pwr_wt) -> RayResults:
         end_ray_parameter=v_f[:, 6],
         start_ray_vec=v0,
         end_ray_vec=v_f,
+        end_ray_comp=c_f,
     )

@@ -1,12 +1,18 @@
-"""Closed-form cold-plasma D-derivatives — TEST ORACLE ONLY.
+"""Closed-form cold-plasma D-derivatives — the PRODUCTION derivative path.
 
 Vectorized re-derivation of the reference's hand chain-rule
-(reference RAYS_project/RAYS_lib/deriv_cold.f90:40-171).  The production
-path computes these by ``jax.grad`` of the scalar D (tracing/rhs.py); this
-module exists so tests can assert the AD derivatives agree with the
-independently coded analytic forms, reproducing the reference's
-``ray_deriv_name = 'cold' | 'numerical'`` A/B check
-(eqn_ray.f90:106-123) with an exact rather than finite-difference partner.
+(reference RAYS_project/RAYS_lib/deriv_cold.f90:40-171).  This is what
+``ray_deriv_name='cold'`` (the default) dispatches to in tracing/rhs.py;
+the ``jax.grad``-of-scalar-D path (``ray_deriv_name='autodiff'``) is the
+independent A/B partner, reproducing the reference's
+``ray_deriv_name = 'cold' | 'numerical'`` check (eqn_ray.f90:106-123)
+with an exact rather than finite-difference alternative — tests assert
+the two agree.
+
+VPU notes (artifacts/vpu_roofline.txt): divides are issued once per
+unique denominator and multiplied through; the tiny matvecs use
+broadcast multiply-reduce, not ``@`` (a vmapped (S,)x(S,S) dot_general
+is measured ~5x slower than the explicit form at these sizes).
 """
 
 from __future__ import annotations
@@ -24,25 +30,29 @@ def deriv_cold(eq, nvec, omgrf, k0):
     alpha, gamma = eq.alpha, eq.gamma
     tiny = constants.SAFE_TINY
 
-    n3 = jnp.dot(nvec, eq.bunit)
-    n1sq = jnp.sum((nvec - n3 * eq.bunit) ** 2)
+    n3 = jnp.sum(nvec * eq.bunit)
+    nperp = nvec - n3 * eq.bunit
+    n1sq = jnp.sum(nperp**2)
 
     # d(n3)/dk, d(n1^2)/dk  (deriv_cold.f90:49-51)
-    dn3dk = eq.bunit / k0
-    dn12dk = (2.0 / k0) * (nvec - n3 * eq.bunit)
+    inv_k0 = 1.0 / k0
+    dn3dk = eq.bunit * inv_k0
+    dn12dk = (2.0 * inv_k0) * nperp
 
     # spatial derivatives (deriv_cold.f90:53-67)
-    dn3dx = eq.gradbunit @ nvec                       # (3,)
+    dn3dx = jnp.sum(eq.gradbunit * nvec[None, :], axis=1)    # (3,)
     dn12dx = -2.0 * n3 * dn3dx
-    safe_ns = jnp.maximum(eq.ns, tiny)
-    dadx = alpha[:, None] * eq.gradns / safe_ns[:, None]     # (S,3)
-    dgdx = gamma[:, None] * (eq.gradbmag / jnp.maximum(eq.bmag, tiny))[None, :]
+    dadx = alpha[:, None] * eq.gradns \
+        * (1.0 / jnp.maximum(eq.ns, tiny))[:, None]          # (S,3)
+    dgdx = gamma[:, None] * (
+        eq.gradbmag * (1.0 / jnp.maximum(eq.bmag, tiny)))[None, :]
 
     # omega derivatives (deriv_cold.f90:69-75)
-    dn3dw = -n3 / omgrf
-    dn12dw = (-2.0 / omgrf) * n1sq
-    dadw = -2.0 / omgrf * alpha
-    dgdw = -1.0 / omgrf * gamma
+    inv_w = 1.0 / omgrf
+    dn3dw = -n3 * inv_w
+    dn12dw = (-2.0 * inv_w) * n1sq
+    dadw = -2.0 * inv_w * alpha
+    dgdw = -inv_w * gamma
 
     # species products (deriv_cold.f90:77-101)
     p = 1.0 - jnp.sum(alpha)
@@ -67,10 +77,10 @@ def deriv_cold(eq, nvec, omgrf, k0):
     gp, gm = stix.leave_two_out_products(gamma)
     gpm = gp * gm
     dtdg = 2.0 * gamma * duda
-    dudg = alpha @ gpm
+    dudg = jnp.sum(alpha[:, None] * gpm, axis=0)
     dudg = dtdg + 2.0 * gamma * (dudg + alpha * duda)
-    dq1dg = alpha @ gp - alpha * dq1da
-    dq2dg = -(alpha @ gm) + alpha * dq2da
+    dq1dg = jnp.sum(alpha[:, None] * gp, axis=0) - alpha * dq1da
+    dq2dg = -jnp.sum(alpha[:, None] * gm, axis=0) + alpha * dq2da
     dqdg = 2.0 * dudg - dtdg + dq1dg * q2 + q1 * dq2dg
     dddg = (
         dtdg * p * n3**4
@@ -84,7 +94,9 @@ def deriv_cold(eq, nvec, omgrf, k0):
 
     # assemble (deriv_cold.f90:160-171)
     dddk = dddn3 * dn3dk + dddn12 * dn12dk
-    dddx = (ddda @ dadx) + (dddg @ dgdx) + dddn3 * dn3dx + dddn12 * dn12dx
+    dddx = (jnp.sum(ddda[:, None] * dadx, axis=0)
+            + jnp.sum(dddg[:, None] * dgdx, axis=0)
+            + dddn3 * dn3dx + dddn12 * dn12dx)
     dddw = jnp.sum(ddda * dadw + dddg * dgdw) + dddn3 * dn3dw + dddn12 * dn12dw
 
     return dddx, dddk, dddw

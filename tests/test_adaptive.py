@@ -184,6 +184,56 @@ def test_sg_scan_substeps_equals_while_loop():
     assert np.isfinite(gn).all()
 
 
+def test_sg_adjoint_matches_finite_differences():
+    """The SG adjoint is the discrete adjoint of the FROZEN accepted-
+    substep sequence (rk45.py stop_gradients the step-size controller,
+    the standard adaptive-integrator adjoint).  Against central finite
+    differences of the full primal — which DOES include the controller's
+    response — the gradients must still agree to ~sqrt(eps) FD accuracy,
+    because the suppressed terms are O(local error) (VERDICT r4 next #1
+    done-criterion)."""
+    # substep budget 2 and 20 outer steps: the grad of the unrolled
+    # substep body is the dominant COMPILE cost of this test (13 min at
+    # budget 4 / 30 steps; ~4 min at this size)
+    text = _sg_text(examples.SLAB_ECH_90GHZ, rel="1.e-6", nstep="20")
+    cfg, params, v0, st, pwr = examples.setup_example(text)
+    cfg = dataclasses.replace(cfg, sg_scan_substeps=2,
+                              save_trajectory=False)
+
+    def loss(p):
+        r = trace_mod.trace_batch(cfg, p, v0, st, pwr)
+        return jnp.sum(r.end_ray_vec[:, 0:3] ** 2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    lo = jax.jit(loss)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    paths = jax.tree_util.tree_flatten_with_path(params)[0]
+    g_leaves = jax.tree_util.tree_flatten(g)[0]
+    checked = 0
+    for idx, (path, leaf) in enumerate(paths):
+        name = jax.tree_util.keystr(path)
+        if leaf.ndim != 0:
+            continue
+        # physics parameters with O(1)-meaningful gradients on this case
+        if not any(s in name for s in ("omgrf'", "bz0", "n_ref")):
+            continue
+        base = float(leaf)
+        eps = max(abs(base), 1.0) * 1e-6
+
+        def with_val(v, idx=idx, leaf=leaf):
+            ls = list(leaves)
+            ls[idx] = jnp.asarray(v, leaf.dtype)
+            return jax.tree_util.tree_unflatten(treedef, ls)
+
+        fd = (float(lo(with_val(base + eps)))
+              - float(lo(with_val(base - eps)))) / (2 * eps)
+        ad = float(g_leaves[idx])
+        assert ad == pytest.approx(fd, rel=2e-5, abs=1e-12), (
+            f"{name}: ad={ad:.10e} fd={fd:.10e}")
+        checked += 1
+    assert checked >= 2, "no scalar physics leaves found to check"
+
+
 def test_adaptive_beats_fixed_rk4_at_equal_outer_steps():
     """The point of the adaptive path: at the same outer grid the SG-analog
     tracks the fine solution better than single-sweep RK4 when the outer ds

@@ -59,6 +59,41 @@ def _compare(res64, res32, rtol_x=2e-4, rtol_k=2e-4):
                                    err_msg=f"ray {ir} k (f32 vs f64)")
 
 
+def test_compensated_sum_mode():
+    """cfg.compensated_sum (tracing/compensated.py): the carried state is
+    bit-identical to the plain f32 path (TwoSum's primary sum IS v + dv),
+    the compensation vector is finite, nonzero, and ulp-scale, and it
+    round-trips through both steppers.  The accuracy finding is recorded
+    in BASELINE.md: on these cases the compensation does NOT shrink the
+    f32-vs-f64 end error, because the dominant error is stage-state
+    quantization (measured by the f64-RHS bisection probe), not
+    accumulation rounding — this test pins the mode's mechanics, not an
+    accuracy win."""
+    for solver_text in (examples.SLAB_ECH_90GHZ,
+                        examples.SLAB_ECH_90GHZ.replace(
+                            "ode_solver_name='RK4_ODE'",
+                            "ode_solver_name='SG_ODE'")):
+        cfg, params, v0, st, pwr = examples.setup_example(solver_text)
+        cfg = dataclasses.replace(cfg, nstep_max=100, save_trajectory=False)
+        res_plain = _trace(cfg, params, v0, st, pwr, jnp.float32)
+        cfg_c = dataclasses.replace(cfg, compensated_sum=True)
+        res_comp = _trace(cfg_c, params, v0, st, pwr, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(res_comp.end_ray_vec),
+                                      np.asarray(res_plain.end_ray_vec))
+        np.testing.assert_array_equal(np.asarray(res_comp.npoints),
+                                      np.asarray(res_plain.npoints))
+        assert res_plain.end_ray_comp is None
+        c = np.asarray(res_comp.end_ray_comp, np.float64)
+        v = np.asarray(res_comp.end_ray_vec, np.float64)
+        assert np.isfinite(c).all()
+        # the compensation accumulated something ...
+        assert np.abs(c).max() > 0
+        # ... but stays ulp-scale: |c| << |v| (each step contributes at
+        # most ~ulp(|v|); 100 steps x 1.2e-7 with slop)
+        scale = np.abs(v).max(axis=0) + 1e-300
+        assert (np.abs(c).max(axis=0) / scale).max() < 100 * 1.2e-7
+
+
 def test_f32_matches_f64_slab():
     cfg, params, v0, st, pwr = examples.setup_example(examples.SLAB_ECH_90GHZ)
     _compare(_trace(cfg, params, v0, st, pwr, jnp.float64),
