@@ -74,6 +74,24 @@ def _time(fn, *args, n_rep=3):
     return (time.perf_counter() - t0) / n_rep, out
 
 
+def _time_sustained(fn, *args, n_call=5, n_rep=3):
+    """Dispatch-amortized wall per call: n_call back-to-back async
+    dispatches, blocked once.  The axon tunnel charges ~25-30 ms dispatch
+    per jit call in this environment (artifacts/step_profile.txt); a
+    non-tunneled production host does not, so this is the honest
+    per-chip device throughput.  Best-of-n_rep: the chip is shared and
+    neighbor load adds up to ~2x noise."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(n_call)]
+        jax.block_until_ready(outs)
+        best = min(best, (time.perf_counter() - t0) / n_call)
+    return best
+
+
 _ARITH_PRIMS = {
     "add", "sub", "mul", "div", "neg", "max", "min", "pow", "integer_pow",
     "sqrt", "rsqrt", "exp", "log", "abs", "sign", "floor", "ceil", "round",
@@ -237,9 +255,15 @@ def bench_slab(extra):
     vP, sP, wP = examples.replicate_rays(v0, status0, pwr, 262144)
     tracer32 = jax.jit(
         lambda p, v, st, w: trace_mod.trace_batch(cfg, p, v, st, w))
-    secP, _ = _time(tracer32, p32, vP.astype(jnp.float32), sP,
-                    wP.astype(jnp.float32))
+    vP32, wP32 = vP.astype(jnp.float32), wP.astype(jnp.float32)
+    secP, _ = _time(tracer32, p32, vP32, sP, wP32)
     extra["rays_per_s_forward_f32_peak_batch"] = round(262144 / secP, 1)
+
+    # --- sustained (dispatch-amortized) forward: what a non-tunneled
+    # host sustains per chip (artifacts/step_profile.txt) ---
+    secS = _time_sustained(tracer32, p32, vP32, sP, wP32)
+    extra["rays_per_s_forward_f32_sustained"] = round(262144 / secS, 1)
+    extra["dispatch_overhead_s_est"] = round(max(secP - secS, 0.0), 4)
 
     # --- fused Pallas kernel (opt-in path) ---
     fused_sec = None
@@ -278,6 +302,13 @@ def bench_slab(extra):
     extra["headline_met_single_chip"] = bool(sec_head < HEADLINE_BUDGET_S)
     extra["headline_chips_needed_at_this_rate"] = max(
         1, int(-(-sec_head // HEADLINE_BUDGET_S)))
+    # dispatch-amortized headline: the per-call tunnel overhead is charged
+    # once above; sustained back-to-back rate prices the multi-batch /
+    # non-tunneled regime
+    sec_head_s = _time_sustained(grad_step, p32, vh, sh, wh, n_call=3)
+    extra["headline_adjoint_sustained_wall_s"] = round(sec_head_s, 4)
+    extra["headline_chips_needed_at_sustained_rate"] = max(
+        1, int(-(-sec_head_s // HEADLINE_BUDGET_S)))
 
     # the headline reports what production code actually dispatches: the
     # XLA scan (trace_rays 'auto' always selects it; the fused-kernel

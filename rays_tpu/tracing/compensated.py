@@ -1,16 +1,20 @@
 """Compensated (Neumaier/Kahan) accumulation for the scan carry.
 
-The f32-with-compensated-summation parity mode (SURVEY.md §7.3 item 6,
+The f32-with-compensated-summation mode (SURVEY.md §7.3 item 6,
 VERDICT r4 next #3): TPU f64 is emulated at ~60x the f32 cost
-(BENCH_r04: 6.5k vs 415k rays/s), but the dominant f32 error over a
-500-step trace is not the per-stage RHS roundoff (random, ~1e-10
-relative per step after the h scaling) — it is the accumulation
-rounding of ``v += dv`` against the large carried state (~ulp(|v|) =
-1e-7 relative PER STEP).  TwoSumming each increment into a running
-compensation vector removes that term entirely for ~4 extra VPU
-adds/sub per element, leaving the random-walk stage noise as the error
-floor: measured end-state agreement with the f64 scan improves ~40x
-(tests/test_precision.py) at f32 throughput.
+(BENCH_r04: 6.5k vs 415k rays/s).  TwoSumming each ``v += dv``
+increment into a running compensation vector removes the accumulation
+rounding against the large carried state for ~4 extra VPU adds/sub per
+element.  MEASURED RESULT (scripts/precision_probe.py ->
+artifacts/precision_probe.txt, recorded in BASELINE.md): on the slab
+ECH cases this does NOT shrink the f32-vs-f64 end error (1.00x),
+because the dominant error is stage-state quantization — every RK
+stage state ``v + h*a*k`` is rounded to f32 ulp inside the step, which
+no summation scheme can remove while the state itself is f32.  The
+mode is kept, tested for its mechanics (tests/test_precision.py), and
+available for workloads where the accumulation term dominates (very
+long traces at large |v|); the 1e-9-tolerance parity tier stays on
+f64.
 
 The reference integrates everything in f64 (`real(KIND=rkind)`,
 constants_m.f90) and never needed this; it is the TPU-native answer to

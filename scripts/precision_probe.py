@@ -22,6 +22,10 @@ chaos); compensation changes nothing (1.00x); full-f64 RHS still leaves
 """
 
 import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

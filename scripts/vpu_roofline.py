@@ -19,7 +19,11 @@ contention adds 2-5x noise).
 
 import collections
 import dataclasses
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +80,18 @@ def main():
     rates["log"] = measure(body, k)
     body, k = _chain(lambda y: y ** 3 * 1e-3 + 1.0)           # integer_pow
     rates["integer_pow3"] = measure(body, k)
+
+    # --- ILP sweep: the production body is vmapped over 32768 rays, so
+    # every HLO op is a (32768,) vector = 32 vregs, and ops are chained
+    # through the physics dependency DAG.  The class rates above run at
+    # N*W = 256 vregs/op with an 8-op chain; re-measure the fma chain at
+    # narrower widths and DEEPER serial chains to expose the
+    # latency-bound regime the scan body actually lives in ---
+    ilp = {}
+    for w, k_chain in [(8, 8), (1, 8), (1, 64)]:
+        body, k = _chain(lambda y: y * 1.0000001 + 1e-9, k=k_chain)
+        ilp[f"fma_w{w}_chain{k_chain}"] = measure(body, k, shape=(N, w))
+    rates.update(ilp)
 
     # batched tiny matvec: (3,3) @ (3,) per ray — dot_general under vmap
     M = jnp.linspace(0.5, 1.5, num=N * 9, dtype=jnp.float32).reshape(N, 3, 3)
