@@ -167,26 +167,32 @@ def _step_gathers(cfg, params, v0):
     return _count_gathers(step_jx.jaxpr) + _count_gathers(end_jx.jaxpr)
 
 
-def _measure_gather_rate(n_rows=N_RAYS, iters=200, row_width=48):
-    """Measured TPU gather throughput (points/s) in the production regime:
-    a batched single-axis row gather (jnp.take) from an HBM-resident
-    table, inside a lax.scan so the ~25-30 ms tunnel dispatch overhead
-    amortizes away.  This is the same gather form ops/splines.py emits
-    (start_index_map={0}); the result prices the spline-geometry
-    roofline."""
+def _measure_gather_rate(n_rows=N_RAYS, iters=200, row_width=48, k_ind=8):
+    """Measured TPU gather THROUGHPUT (row-gathers/s) in the production
+    regime: per scan iteration, ``k_ind`` INDEPENDENT batched single-axis
+    row gathers (jnp.take) from an HBM-resident table — matching the
+    production step, which issues its ~8 cell-coefficient gathers per
+    eval with no dependency between them (ops/splines.py,
+    start_index_map={0}).  Indices advance by a loop-carried +1 so the
+    gathers cannot be hoisted, but stay data-INdependent: a
+    data-dependent index chain serializes the gathers and understates
+    the bound ~2x (measured round 5 — the spline tracers then sat at
+    '2.1x of the roofline', i.e. the old number was not a roofline).
+    The scan amortizes the ~25-30 ms tunnel dispatch."""
     table = jnp.arange(4096 * row_width, dtype=jnp.float32
                        ).reshape(4096, row_width)
     idx0 = jnp.arange(n_rows, dtype=jnp.int32) % 4096
 
     def body(i, _):
-        row = jnp.take(table, i, axis=0)          # (n_rows, row_width)
-        # data-dependent next index: the gather chain cannot be hoisted
-        i = (i + row[:, 0].astype(jnp.int32) % 7 + 1) % 4096
-        return i, None
+        acc = jnp.zeros((n_rows,), jnp.float32)
+        for k in range(k_ind):
+            rows = jnp.take(table, (i + k * 37) % 4096, axis=0)
+            acc = acc + rows[:, 0]
+        return (i + 1) % 4096, acc
 
-    run = jax.jit(lambda i0: jax.lax.scan(body, i0, None, length=iters)[0])
+    run = jax.jit(lambda i0: jax.lax.scan(body, i0, None, length=iters))
     sec, _ = _time(run, idx0)
-    return n_rows * iters / sec
+    return k_ind * n_rows * iters / sec
 
 
 def _step_flops(cfg, params, v0):

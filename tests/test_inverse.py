@@ -17,7 +17,8 @@ sys.path.insert(0, os.path.join(
 def test_inverse_demo_converges_bounded():
     from inverse_demo import run_demo
 
-    out = run_demo(n_iters=12, nstep_max=40, log=lambda *_: None)
+    out = run_demo(n_iters=12, nstep_max=40, n_newton=2,
+                   log=lambda *_: None)
     losses = [h[0] for h in out["history"]]
     # misfit strictly decreases over the bounded run
     assert losses[-1] < losses[0] * 0.5, losses
@@ -25,3 +26,6 @@ def test_inverse_demo_converges_bounded():
     (tk, ti), (sk, si), (fk, fi) = out["true"], out["start"], out["final"]
     assert abs(fk - tk) < abs(sk - tk), (fk, sk, tk)
     assert abs(fi - ti) < abs(si - ti), (fi, si, ti)
+    # the Newton stage (jax.hessian through the integration scan) ran and
+    # produced at least one accepted second-order step
+    assert len(losses) > 12, "no accepted Newton step in bounded run"
